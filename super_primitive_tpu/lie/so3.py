@@ -78,16 +78,20 @@ def log(R: jax.Array) -> jax.Array:
 
 
 def quat_to_rotvec(q: jax.Array) -> jax.Array:
-    """(w, x, y, z) quaternion -> axis-angle, robust at small angles."""
+    """(w, x, y, z) quaternion -> axis-angle, robust (value AND gradient) at
+    small angles: the vector norm is computed via the double-where trick so
+    backprop through an identity rotation stays finite."""
     q = q * jnp.sign(q[..., :1] + jnp.where(q[..., :1] == 0, 1.0, 0.0))
     w, xyz = q[..., 0], q[..., 1:]
-    n = jnp.linalg.norm(xyz, axis=-1)
-    small = n < _EPS
-    n_safe = jnp.where(small, jnp.ones_like(n), n)
-    angle = 2.0 * jnp.arctan2(n, w)
-    # sin(angle/2) = n, so scale = angle / n; series: 2/w * (1 - n^2/(3 w^2))
-    w_safe = jnp.where(jnp.abs(w) < _EPS, jnp.ones_like(w), w)
-    scale = jnp.where(small, 2.0 / w_safe, angle / n_safe)
+    n2 = jnp.sum(xyz * xyz, axis=-1)
+    small = n2 < _EPS  # switch to series below |xyz| ~ 1e-4
+    n_safe = jnp.sqrt(jnp.where(small, 1.0, n2))
+    angle = 2.0 * jnp.arctan2(jnp.where(small, 0.0, n_safe), w)
+    # scale = angle / n; series: 2/w * (1 - n^2/(3 w^2))
+    w_safe = jnp.where(jnp.abs(w) < _EPS, 1.0, w)
+    scale = jnp.where(
+        small, (2.0 / w_safe) * (1.0 - n2 / (3.0 * w_safe * w_safe)), angle / n_safe
+    )
     return xyz * scale[..., None]
 
 
@@ -136,7 +140,10 @@ def matrix_to_quat(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    q_abs = jnp.sqrt(jnp.maximum(q_abs2, 0.0))
+    # Grad-safe sqrt(max(x, 0)): a plain sqrt has an infinite derivative at 0
+    # which turns into NaN through the zero-weighted unselected branches.
+    pos = q_abs2 > 1e-8
+    q_abs = jnp.where(pos, jnp.sqrt(jnp.where(pos, q_abs2, 1.0)), 0.0)
 
     quat_by_rijk = jnp.stack(
         [

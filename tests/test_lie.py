@@ -115,6 +115,14 @@ class TestSE3:
         T = np.asarray(se3.random(jax.random.PRNGKey(0), sigma=1e-4))
         np.testing.assert_allclose(T, np.eye(4), atol=1e-3)
 
+    def test_grad_of_log_at_identity(self):
+        # regression: backprop through log at/near identity must stay finite
+        for T in [jnp.eye(4), se3.exp(1e-6 * jnp.ones(6))]:
+            g = jax.grad(lambda xi: jnp.sum(se3.log(T @ se3.exp(xi)) ** 2))(
+                jnp.zeros(6)
+            )
+            assert np.all(np.isfinite(np.asarray(g))), g
+
     def test_grad_through_retraction(self):
         T0 = se3.exp(jnp.asarray(rng(12).normal(size=6).astype(np.float32)))
 
