@@ -1,0 +1,116 @@
+"""TUM RGB-D dataset loaders (reference: data/tum.py, data/tum_undistort.py).
+
+Pure numpy/cv2 — frames come out as dicts with channels-last float-ready
+arrays; poses are world-from-camera 4x4 from the nearest-timestamp
+groundtruth line.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import cv2
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+DEPTH_SCALE = 1.0 / 5000.0
+MAX_DEPTH = 10.0
+
+# default (fr2+) intrinsics, data/tum.py:64-73
+K_DEFAULT = np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]], np.float64)
+
+# fr1 intrinsics + distortion, data/tum_undistort.py:63-79
+K_FR1 = np.array([[517.3, 0, 318.6], [0, 516.5, 255.3], [0, 0, 1]], np.float64)
+DIST_FR1 = np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633])
+CROP_W, CROP_H = 32, 16
+
+
+def _load_groundtruth(traj_file: str) -> np.ndarray:
+    with open(traj_file) as f:
+        lines = [line for line in f if not line.startswith("#")]
+    return np.loadtxt(lines, delimiter=" ")
+
+
+def _pose_at_timestamp(t_poses: np.ndarray, timestamp: float) -> np.ndarray:
+    """Nearest-timestamp GT pose as 4x4 (data/tum.py:98-106).  TUM lines are
+    (t, tx, ty, tz, qx, qy, qz, qw)."""
+    idx = int(np.abs(timestamp - t_poses[:, 0]).argmin())
+    trans = t_poses[idx, 1:4]
+    quat_xyzw = t_poses[idx, 4:8]
+    T = np.eye(4)
+    T[:3, :3] = Rotation.from_quat(quat_xyzw).as_matrix()
+    T[:3, 3] = trans
+    return T
+
+
+class TUMDataset:
+    """Plain TUM loader: associations.txt pairing, depth/5000, far clip 10m."""
+
+    def __init__(self, root_dir: str, traj_file: Optional[str] = None):
+        self.root_dir = root_dir
+        self.t_poses = _load_groundtruth(traj_file) if traj_file else None
+        self.intrinsics = K_DEFAULT.copy()
+
+        with open(os.path.join(root_dir, "associations.txt")) as f:
+            rows = [line.rstrip().split() for line in f]
+        self.timestamps = np.array([float(r[0]) for r in rows])
+        self.rgb_files = [r[1] for r in rows]
+        self.depth_files = [r[3] for r in rows]
+
+    def __len__(self):
+        return len(self.rgb_files)
+
+    def _read_pair(self, idx):
+        depth = cv2.imread(os.path.join(self.root_dir, self.depth_files[idx]), -1)
+        image = cv2.imread(os.path.join(self.root_dir, self.rgb_files[idx]))
+        return image, depth
+
+    def __getitem__(self, idx):
+        from .transforms import bgr_to_rgb, scale_and_filter_depth
+
+        image, depth = self._read_pair(idx)
+        T = (
+            _pose_at_timestamp(self.t_poses, self.timestamps[idx])
+            if self.t_poses is not None
+            else None
+        )
+        return {
+            "image": bgr_to_rgb(image),
+            "depth": scale_and_filter_depth(depth, DEPTH_SCALE, MAX_DEPTH),
+            "T": T,
+            "intrinsics": self.intrinsics,
+            "timestamp": self.timestamps[idx],
+        }
+
+
+class TUMUndistortDataset(TUMDataset):
+    """fr1 variant: cv2.undistort with fr1 coefficients + 32/16-px crop with
+    principal point shifted accordingly (data/tum_undistort.py:64-130)."""
+
+    def __init__(self, root_dir: str, traj_file: Optional[str] = None):
+        super().__init__(root_dir, traj_file)
+        self.intrinsics_full = K_FR1.copy()
+        self.intrinsics = K_FR1.copy()
+        self.intrinsics[0, 2] -= CROP_W
+        self.intrinsics[1, 2] -= CROP_H
+
+    def __getitem__(self, idx):
+        from .transforms import bgr_to_rgb, scale_and_filter_depth
+
+        image, depth = self._read_pair(idx)
+        image = cv2.undistort(image, self.intrinsics_full, DIST_FR1)
+        image = image[CROP_H:-CROP_H, CROP_W:-CROP_W, :]
+        depth = depth[CROP_H:-CROP_H, CROP_W:-CROP_W]
+        T = (
+            _pose_at_timestamp(self.t_poses, self.timestamps[idx])
+            if self.t_poses is not None
+            else None
+        )
+        return {
+            "image": bgr_to_rgb(image),
+            "depth": scale_and_filter_depth(depth, DEPTH_SCALE, MAX_DEPTH),
+            "T": T,
+            "intrinsics": self.intrinsics,
+            "timestamp": self.timestamps[idx],
+        }
