@@ -1,0 +1,291 @@
+"""Windowed mapping: joint refinement of keyframe log-depths, poses and
+affine parameters over chain connectivity with supporting frames.
+
+Reference: odometery/odometery.py:687-985 (``mapping``), :576-650
+(``setup_mapping_opt``), :451-530 (connectivity + target collection).
+
+Semantics reproduced:
+  - modes: 'init' (first mapping), 'map' (scheduled), 'supp' (per-frame
+    newest-KF logdepth refinement);
+  - per-group Adam lrs: logdepth 1e-2; pose 1e-2 for mono init else 1e-4;
+    affine 1e-5 (odometery.py:578-585);
+  - first window KF pose ALWAYS frozen; its logdepth frozen when the window
+    is full (gauge fixing, :591-598); 'supp' optimizes only the newest KF's
+    logdepth with no pose/affine params (:605-629);
+  - connectivity: chain +-1; supporting frames of src and src-1 attach as
+    extra targets (:459-479, :666-677); 'supp' restricts sources to the
+    newest KF (:469-470);
+  - cost pose composition per (src s, trg t):
+    rel = inv(T_t exp(xi_t)) @ (T_s exp(xi_s)) — the reference's
+    delta_t @ inv(T_t) @ T_s @ inv(delta_s) (:788, under delta -> -xi);
+  - per step: fold xi into pose with quaternion renormalization, re-zero,
+    Adam moments persist (:860-882);
+  - loss = sum over sources of mean over that source's targets (:845-850);
+  - early stop on relative loss change < 1e-8 once initialised (:907-915).
+
+TPU structure: everything above is ONE jitted ``lax.while_loop`` over fixed
+(W, S, T_max) slot arrays with validity masks; mode differences are traced
+masks/lrs, so all three modes share a single compilation.  Learning rates
+apply as traced multipliers on ``scale_by_adam`` directions (Adam is linear
+in lr), avoiding recompilation per mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..cost import photometric as ph
+from ..keyframe import PointBundle
+from ..lie import se3
+from .window import WindowBuffers
+
+
+class MapSlots(NamedTuple):
+    """Static-shape connectivity: for each source KF slot, up to T_max
+    targets indexed into the unified pose table (KFs first, then supporting
+    frames flattened), plus masks.  Built host-side per mapping call."""
+
+    trg_index: np.ndarray     # (W, T_max) int32 into [0, W + W*S)
+    trg_valid: np.ndarray     # (W, T_max) bool
+    src_valid: np.ndarray     # (W,) bool — sources participating
+
+
+class MapMasks(NamedTuple):
+    xi_mask: np.ndarray       # (B,) float — pose tangent update mask
+    ld_mask: np.ndarray       # (W,) float — logdepth update mask
+    affine_mask: np.ndarray   # (B,) float
+
+
+class MapParams(NamedTuple):
+    poses: jax.Array          # (B, 4, 4) unified: W KFs then W*S supp
+    xi: jax.Array             # (B, 6)
+    kp_logdepth: jax.Array    # (W, N)
+    affine: jax.Array         # (B, 2)
+
+
+def build_slots(
+    num_kfs: int, window_cap: int, supp_valid: np.ndarray, mode: str
+) -> MapSlots:
+    """Host-side connectivity construction (odometery.py:451-530)."""
+    W = window_cap
+    S = supp_valid.shape[1]
+    T_max = 2 + 2 * S
+    trg_index = np.zeros((W, T_max), np.int32)
+    trg_valid = np.zeros((W, T_max), bool)
+    src_valid = np.zeros((W,), bool)
+
+    def supp_flat(i, j):
+        return W + i * S + j
+
+    for src in range(num_kfs):
+        if mode == "supp" and src != num_kfs - 1:
+            continue
+        slots = []
+        if src > 0:
+            slots.append(src - 1)
+        if src < num_kfs - 1:
+            slots.append(src + 1)
+        for s_src in ([src, src - 1] if src > 0 else [src]):
+            for j in range(S):
+                if supp_valid[s_src, j]:
+                    slots.append(supp_flat(s_src, j))
+        if not slots:
+            continue
+        src_valid[src] = True
+        trg_index[src, : len(slots)] = slots
+        trg_valid[src, : len(slots)] = True
+    return MapSlots(trg_index=trg_index, trg_valid=trg_valid, src_valid=src_valid)
+
+
+def build_masks(
+    num_kfs: int,
+    window_cap: int,
+    supp_valid: np.ndarray,
+    mode: str,
+    window_size: int,
+    opt_supporting: bool,
+    affine_compensation: bool,
+) -> MapMasks:
+    """Which parameters move, per mode (odometery.py:576-650)."""
+    W = window_cap
+    S = supp_valid.shape[1]
+    B = W + W * S
+    xi = np.zeros(B, np.float32)
+    ld = np.zeros(W, np.float32)
+    aff = np.zeros(B, np.float32)
+
+    if mode == "supp":
+        if num_kfs > 0:
+            ld[num_kfs - 1] = 1.0
+    else:
+        # KF poses: 1..num_kfs-1 (first always frozen, :591-592)
+        xi[1:num_kfs] = 1.0
+        # logdepths: first frozen only when the window is full (:594-598)
+        start = 1 if num_kfs == window_size else 0
+        ld[start:num_kfs] = 1.0
+        if affine_compensation:
+            aff[1:num_kfs] = 1.0
+        if opt_supporting:
+            for i in range(num_kfs):
+                for j in range(S):
+                    if supp_valid[i, j]:
+                        xi[W + i * S + j] = 1.0
+                        if affine_compensation:
+                            aff[W + i * S + j] = 1.0
+    return MapMasks(xi_mask=xi, ld_mask=ld, affine_mask=aff)
+
+
+class MapResult(NamedTuple):
+    params: MapParams
+    losses: jax.Array         # (max_iters,) loss history (0 after early stop)
+    num_iters: jax.Array      # () actual iterations run
+
+
+@functools.partial(jax.jit, static_argnames=("geo_dims",), donate_argnums=())
+def run_mapping(
+    buffers: WindowBuffers,
+    trg_index: jax.Array,       # (W, T_max)
+    trg_valid: jax.Array,       # (W, T_max)
+    src_valid: jax.Array,       # (W,)
+    xi_mask: jax.Array,         # (B,)
+    ld_mask: jax.Array,         # (W,)
+    affine_mask: jax.Array,     # (B,)
+    lr_pose: jax.Array,
+    lr_logdepth: jax.Array,
+    lr_affine: jax.Array,
+    max_iters: jax.Array,
+    early_stop: jax.Array,      # bool — enable 1e-8 relative stopping
+    use_affine: jax.Array,      # bool — affine compensation active
+    geo_dims: tuple[int, int],
+) -> MapResult:
+    """One fully-on-device mapping solve.  See module docstring."""
+    W = buffers.capacity
+    S = buffers.supp_capacity
+    B = W + W * S
+    T_max = trg_index.shape[1]
+
+    # --- unified pose/affine tables: KFs then flattened supp slots ---
+    poses0 = jnp.concatenate(
+        [buffers.poses, buffers.supp_poses.reshape(W * S, 4, 4)], axis=0
+    )
+    affine0 = jnp.concatenate(
+        [buffers.affine, buffers.supp_affine.reshape(W * S, 2)], axis=0
+    )
+    params = MapParams(
+        poses=poses0,
+        xi=jnp.zeros((B, 6)),
+        kp_logdepth=buffers.kp_logdepth,
+        affine=affine0,
+    )
+
+    # --- per-source precomputation (constant during optimization) ---
+    # image pool: KF images then supp images
+    pool = jnp.concatenate(
+        [buffers.images, buffers.supp_images.reshape((W * S,) + buffers.images.shape[1:])],
+        axis=0,
+    )
+    trg_images = pool[trg_index]                 # (W, T_max, H, Wd, C)
+
+    def make_bundle(i):
+        return PointBundle(
+            uv=buffers.uv[i],
+            seg_id=buffers.seg_id[i],
+            base_logdepth=buffers.base_logdepth[i],
+            valid=buffers.point_valid[i],
+            num_valid=buffers.num_valid[i],
+        )
+
+    src_samples = jax.vmap(
+        lambda img, uv, v, nv: ph.precompute_source(
+            img,
+            PointBundle(uv=uv, seg_id=jnp.zeros(uv.shape[0], jnp.int32),
+                        base_logdepth=jnp.zeros(uv.shape[0]), valid=v, num_valid=nv),
+            geo_dims,
+        )
+    )(buffers.images, buffers.uv, buffers.point_valid, buffers.num_valid)
+    # src_samples: SourceSamples with leading (W,) axis
+
+    max_hist = 2048  # loss history ring (init mapping uses <= 1000 iters)
+
+    opt = optax.scale_by_adam()
+    opt_state = opt.init(params)
+
+    def total_loss(p: MapParams) -> jax.Array:
+        E = jnp.matmul(p.poses, se3.exp(p.xi), precision=jax.lax.Precision.HIGHEST)
+
+        def per_src(i):
+            bundle = make_bundle(i)
+            src = ph.SourceSamples(
+                pixels=src_samples.pixels[i], valid=src_samples.valid[i]
+            )
+            idx = trg_index[i]
+            rel = jnp.matmul(
+                se3.inverse(E[idx]), E[i], precision=jax.lax.Precision.HIGHEST
+            )
+            res = ph.photometric_cost_batch(
+                bundle, src, trg_images[i], buffers.K[i], geo_dims,
+                p.kp_logdepth[i], buffers.kp_base[i], rel,
+                affine=(p.affine[i], p.affine[idx]),
+            )
+            res_noaff = ph.photometric_cost_batch(
+                bundle, src, trg_images[i], buffers.K[i], geo_dims,
+                p.kp_logdepth[i], buffers.kp_base[i], rel,
+            )
+            res = jnp.where(use_affine, res, res_noaff)
+            v = trg_valid[i].astype(res.dtype)
+            return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+        per = jax.vmap(per_src)(jnp.arange(W))
+        return jnp.sum(per * src_valid.astype(per.dtype))
+
+    def step(carry):
+        p, opt_state, it, prev_loss, done, losses = carry
+        loss, grads = jax.value_and_grad(total_loss)(p)
+        grads = grads._replace(poses=jnp.zeros_like(p.poses))
+        direction, opt_state = opt.update(grads, opt_state)
+
+        upd_xi = -lr_pose * direction.xi * xi_mask[:, None]
+        upd_ld = -lr_logdepth * direction.kp_logdepth * ld_mask[:, None]
+        upd_aff = -lr_affine * direction.affine * affine_mask[:, None]
+
+        new_poses = jax.vmap(se3.retract)(p.poses, upd_xi)
+        p = MapParams(
+            poses=new_poses,
+            xi=jnp.zeros_like(p.xi),
+            kp_logdepth=p.kp_logdepth + upd_ld,
+            affine=p.affine + upd_aff,
+        )
+        rel_change = jnp.abs(loss - prev_loss) / jnp.maximum(prev_loss, 1e-30)
+        done = jnp.logical_or(done, jnp.logical_and(early_stop, rel_change < 1e-8))
+        losses = losses.at[jnp.minimum(it, max_hist - 1)].set(loss)
+        return p, opt_state, it + 1, loss, done, losses
+
+    def cond(carry):
+        _, _, it, _, done, _ = carry
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    losses0 = jnp.zeros((max_hist,))
+    p, _, iters, _, _, losses = jax.lax.while_loop(
+        cond, step, (params, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf), jnp.asarray(False), losses0)
+    )
+    return MapResult(params=p, losses=losses, num_iters=iters)
+
+
+def write_back(buffers: WindowBuffers, params: MapParams) -> WindowBuffers:
+    """Store optimized poses/logdepths/affines back into window buffers
+    (odometery.py:941-967)."""
+    W = buffers.capacity
+    S = buffers.supp_capacity
+    return buffers.replace(
+        poses=params.poses[:W],
+        supp_poses=params.poses[W:].reshape(W, S, 4, 4),
+        kp_logdepth=params.kp_logdepth,
+        affine=params.affine[:W],
+        supp_affine=params.affine[W:].reshape(W, S, 2),
+    )

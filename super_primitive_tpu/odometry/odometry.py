@@ -1,0 +1,400 @@
+"""Monocular visual odometry driver (workload: TUM MonoVO).
+
+Host-side state machine reproducing odometery/odometery.py's per-frame loop
+(:1018-1088): track -> per-frame 'supp' mapping -> scheduled 'map' mapping ->
+keyframe gating -> keyframe init (+ depth re-init from rendered depth) ->
+window roll.  All heavy compute (tracking scans, mapping while_loops, depth
+scatter render) runs jitted on device via tracker.py / mapper.py /
+ops/scatter.py; this file only shuffles slots and timestamps.
+
+The frontend is injected (``process_to_kf(image, K)`` -> host geometry,
+``process_to_supp_kf`` -> image only), so the full SAM+normals+BiNI frontend
+and test stubs (GT-depth segment grids) are interchangeable — mirrors
+setup_new_front_processor (frontend/process_frame.py:19-23).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import Config
+from ..cost import photometric as ph
+from ..image import pyramid as pyr
+from ..keyframe import PointBundle, build_bundle_np
+from ..lie import se3
+from ..ops.scatter import render_depth
+from . import depth_init, io, kf_criteria, mapper, tracker, window
+
+
+class Frontend(Protocol):
+    def process_to_kf(self, image: np.ndarray, K: np.ndarray) -> dict: ...
+    def process_to_supp_kf(self, image: np.ndarray, K: np.ndarray) -> dict: ...
+
+
+@dataclasses.dataclass
+class TrackedFrame:
+    timestamp: str
+    image: jax.Array           # device image (H, W, C)
+    pose: np.ndarray           # (4, 4) world
+    affine: np.ndarray         # (2,)
+
+
+class Odometry:
+    def __init__(self, config: Config, frontend: Frontend, dataset):
+        self.config = config
+        self.frontend = frontend
+        self.dataset = dataset
+
+        self.window_size = config.window_size
+        self.supp_cap = max(2, config.alignment.mapping.supp_every_n - 1)
+        self.affine_compensation = config.alignment.affine_compensation
+        self.opt_supporting = config.alignment.opt_supporting
+        self.mono_init = config.alignment.mono_init
+
+        self.buffers: Optional[window.WindowBuffers] = None
+        self.host_kfs: list[window.HostKeyFrame] = []
+        self.num_kfs = 0
+        self.seg_cap = None
+        self.point_cap = None
+
+        self.tracked: list[TrackedFrame] = []
+        self.current_track: Optional[np.ndarray] = None
+        self.current_aff = np.zeros(2, np.float32)
+        self.current_ts: Optional[str] = None
+
+        self.initialised = False
+        self.mapping_scheduled = False
+        self.global_kf_trajectory: dict[str, np.ndarray] = {}
+        self.global_track_trajectory: dict[str, np.ndarray] = {}
+        self.frame_timestamps: dict[str, float] = {}
+
+        self._kf_pyramid_cache = None  # (kf_ts, list of level images)
+
+    # ------------------------------------------------------------- helpers
+    @staticmethod
+    def id_to_timestamp(frame_id: int) -> str:
+        return str(frame_id).zfill(6)  # odometery.py:120-121
+
+    def _geo_dims(self):
+        return self.host_kfs[-1].logdepth_perseg.shape[1:]
+
+    def _last_bundle(self) -> PointBundle:
+        b = self.buffers
+        i = self.num_kfs - 1
+        return PointBundle(
+            uv=b.uv[i], seg_id=b.seg_id[i], base_logdepth=b.base_logdepth[i],
+            valid=b.point_valid[i], num_valid=b.num_valid[i],
+        )
+
+    def estimate_depth_latest_kf(self, pose: np.ndarray) -> np.ndarray:
+        """Render last KF's points into the camera at ``pose``
+        (odometery.py:294-321 + core/depth_render.py)."""
+        i = self.num_kfs - 1
+        b = self.buffers
+        bundle = self._last_bundle()
+        delta = np.linalg.inv(pose) @ np.asarray(b.poses[i])
+        logd = ph.spread_logdepth(bundle, b.kp_logdepth[i], b.kp_base[i])
+        from ..geometry import projection
+
+        pts = projection.unproject(bundle.uv, jnp.exp(logd), b.K[i])
+        pts = projection.transform(pts, jnp.asarray(delta, jnp.float32))
+        H, W = self._geo_dims()
+        depth, _ = render_depth(pts, b.K[i], (H, W), valid=bundle.valid)
+        return np.asarray(depth)
+
+    # -------------------------------------------------------- keyframe init
+    def init_keyframe(self, frame: dict, pose: np.ndarray, timestamp: str):
+        t0 = time.time()
+        observe = getattr(self.frontend, "observe", None)
+        if observe is not None:
+            observe(frame)
+        kf_data = self.frontend.process_to_kf(frame["image"], frame["intrinsics"])
+        regions = kf_data["regions"]
+        logdepth = kf_data["logdepth_perseg"]
+        keypoints_rc = kf_data["keypoints_rc"]
+        image = kf_data["image"]          # (H, W, C) float32, KF resolution
+        K = kf_data["K"]                  # geometry intrinsics
+        N_i, Hg, Wg = regions.shape
+
+        if self.seg_cap is None:
+            # capacities fixed at first keyframe (static shapes thereafter)
+            self.seg_cap = max(64, int(np.ceil(N_i * 1.5 / 32) * 32))
+            self.point_cap = int(
+                np.ceil(max(int(regions.sum()) * 2, Hg * Wg) / 1024) * 1024
+            )
+            self.buffers = window.empty_window(
+                self.window_size, self.supp_cap, image.shape[:2],
+                image.shape[2], self.seg_cap, self.point_cap,
+            )
+
+        # depth init (odometery.py:124-196)
+        if self.num_kfs < 2:
+            if self.mono_init:
+                kp_logdepth = np.zeros(N_i, np.float32)  # log(1.0)
+            else:
+                gt = np.asarray(frame["depth"], np.float32)
+                if gt.shape != (Hg, Wg):
+                    sy, sx = gt.shape[0] // Hg, gt.shape[1] // Wg
+                    gt = gt[::sy, ::sx][:Hg, :Wg]
+                kp_logdepth = depth_init.segment_based_depth_reinit(
+                    gt, regions, logdepth, keypoints_rc, mode="median"
+                )
+        else:
+            est = self.estimate_depth_latest_kf(pose)
+            kp_logdepth = depth_init.segment_based_depth_reinit(
+                est, regions, logdepth, keypoints_rc, mode="median"
+            )
+        assert np.all(np.isfinite(kp_logdepth))
+
+        host_kf = window.HostKeyFrame(
+            timestamp=timestamp, image=image, K=K, regions=regions,
+            logdepth_perseg=logdepth, keypoints_rc=keypoints_rc,
+            pose=np.asarray(pose, np.float32), kp_logdepth=kp_logdepth,
+            affine=self.current_aff.copy(),
+        )
+
+        # window roll (odometery.py:184-194)
+        if self.num_kfs == self.window_size:
+            if self.config.dump_kfs:
+                io.dump_kf(self.config.save_path + "/curr_kfs", self.host_kfs[0])
+            self.host_kfs.pop(0)
+            self.buffers = window.roll_window(self.buffers)
+            self.num_kfs -= 1
+
+        slot = self.num_kfs
+        bundle = build_bundle_np(regions, logdepth, capacity=self.point_cap)
+        kp_base = logdepth[np.arange(N_i), keypoints_rc[:, 0], keypoints_rc[:, 1]]
+        self.buffers = window.set_keyframe_slot(
+            self.buffers, slot, image, K, pose, kp_logdepth,
+            self.current_aff, np.asarray(bundle.uv), np.asarray(bundle.seg_id),
+            np.asarray(bundle.base_logdepth), np.asarray(bundle.valid),
+            int(bundle.num_valid), kp_base,
+        )
+        self.host_kfs.append(host_kf)
+        self.num_kfs += 1
+        self.global_kf_trajectory[timestamp] = np.asarray(pose)
+        self._kf_pyramid_cache = None
+        print(f"[kf] added {timestamp} (N={N_i}, {time.time()-t0:.2f}s)")
+
+    # ------------------------------------------------------------ tracking
+    def _kf_track_pyramid(self):
+        ts = self.host_kfs[-1].timestamp
+        if self._kf_pyramid_cache is None or self._kf_pyramid_cache[0] != ts:
+            img = self.buffers.images[self.num_kfs - 1]
+            levels = pyr.image_pyramid(
+                img, self.config.alignment.track.pyramid_min,
+                self.config.alignment.track.pyramid_max,
+            )
+            self._kf_pyramid_cache = (ts, levels)
+        return self._kf_pyramid_cache[1]
+
+    def track_frame(self, frame: dict, timestamp: str) -> dict:
+        t0 = time.time()
+        supp = self.frontend.process_to_supp_kf(frame["image"], frame["intrinsics"])
+        trg_image = jnp.asarray(supp["image"])
+        trg_pyr = pyr.image_pyramid(
+            trg_image, self.config.alignment.track.pyramid_min,
+            self.config.alignment.track.pyramid_max,
+        )
+        kf_pyr = self._kf_track_pyramid()
+        i = self.num_kfs - 1
+        b = self.buffers
+
+        T_init = self.current_track
+        T_frame, affine, losses = tracker.track_frame(
+            self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
+            b.kp_logdepth[i], b.kp_base[i],
+            jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
+            b.affine[i], jnp.asarray(self.current_aff),
+            self._geo_dims(), tuple(self.config.alignment.track.steps),
+            self.config.alignment.track.lr, 5e-3,
+            use_affine=self.affine_compensation,
+        )
+        T_frame_np = np.asarray(T_frame)
+        self.current_track = T_frame_np
+        self.current_aff = np.asarray(affine)
+        self.current_ts = timestamp
+        self.tracked.append(
+            TrackedFrame(timestamp, trg_image, T_frame_np, self.current_aff.copy())
+        )
+        self.global_track_trajectory[timestamp] = T_frame_np
+        loss = float(losses[-1][-1]) if losses else float("nan")
+        print(
+            f"tracking time {time.time()-t0:.3f} sec, tracking loss = {loss:.4f}",
+            flush=True,
+        )
+        return {"pose": T_frame_np, "affine": self.current_aff, "ts": timestamp}
+
+    # ------------------------------------------------------------- mapping
+    def _refresh_latest_supp_from_tracked(self):
+        """tracked_poses_to_supp (odometery.py:1272-1290): last two tracked
+        frames become the newest KF's supporting slots."""
+        i = self.num_kfs - 1
+        self.buffers = window.clear_supporting(self.buffers, i)
+        n = len(self.tracked)
+        ids = sorted({k for k in (n - 1, n - 2) if 0 <= k < n})
+        for j, k in enumerate(ids):
+            tf = self.tracked[k]
+            self.buffers = window.set_supporting_slot(
+                self.buffers, i, j, tf.image, tf.pose, tf.affine
+            )
+        self._latest_supp_count = len(ids)
+
+    def _flush_tracked_to_prev_kf(self):
+        """flush_tracked_poses_to_supp (odometery.py:1318-1330): subsampled
+        tracked frames attach to the (still) newest KF before the new one is
+        added."""
+        n = len(self.tracked)
+        each_n = self.config.alignment.mapping.supp_every_n
+        ids = sorted({i * (n - 1) // each_n + 1 for i in range(1, each_n)})
+        ids = [i for i in ids if 0 <= i < n]
+        i = self.num_kfs - 1
+        self.buffers = window.clear_supporting(self.buffers, i)
+        for j, k in enumerate(ids[: self.supp_cap]):
+            tf = self.tracked[k]
+            self.buffers = window.set_supporting_slot(
+                self.buffers, i, j, tf.image, tf.pose, tf.affine
+            )
+
+    def mapping(self, num_iters: int, mode: str = "map"):
+        assert mode in ("init", "map", "supp")
+        t0 = time.time()
+        if mode == "init":
+            self.buffers = window.clear_supporting(self.buffers)
+            self.tracked = []
+        else:
+            if self.initialised:
+                self._refresh_latest_supp_from_tracked()
+
+        supp_valid = np.asarray(self.buffers.supp_valid)
+        slots = mapper.build_slots(self.num_kfs, self.window_size, supp_valid, mode)
+        masks = mapper.build_masks(
+            self.num_kfs, self.window_size, supp_valid, mode,
+            self.window_size, self.opt_supporting, self.affine_compensation,
+        )
+        lr_pose = 1e-2 if (mode == "init" and self.mono_init) else 1e-4
+        result = mapper.run_mapping(
+            self.buffers,
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+            jnp.asarray(lr_pose), jnp.asarray(1e-2), jnp.asarray(1e-5),
+            jnp.asarray(num_iters), jnp.asarray(self.initialised),
+            jnp.asarray(self.affine_compensation),
+            tuple(self._geo_dims()),
+        )
+        self.buffers = mapper.write_back(self.buffers, result.params)
+
+        # host bookkeeping: poses + trajectories (odometery.py:948-967)
+        poses = np.asarray(self.buffers.poses)
+        lds = np.asarray(self.buffers.kp_logdepth)
+        for i in range(self.num_kfs):
+            self.host_kfs[i].pose = poses[i]
+            n_i = self.host_kfs[i].kp_logdepth.shape[0]
+            self.host_kfs[i].kp_logdepth = lds[i, :n_i]
+            self.global_kf_trajectory[self.host_kfs[i].timestamp] = poses[i]
+
+        self._update_track_pose(mode)
+        if mode != "supp":
+            print(
+                f"Mapping[{mode}] time {time.time()-t0:.3f} sec "
+                f"({int(result.num_iters)} iters)",
+                flush=True,
+            )
+        self.initialised = True
+
+    def _update_track_pose(self, mode):
+        """odometery.py:969-985: continue tracking from the newest refined
+        pose — the latest supporting frame if newer than the last KF."""
+        latest_kf_ts = int(self.host_kfs[-1].timestamp)
+        i = self.num_kfs - 1
+        supp_valid = np.asarray(self.buffers.supp_valid[i])
+        if self.tracked and supp_valid.any() and int(self.tracked[-1].timestamp) > latest_kf_ts:
+            j = int(supp_valid.nonzero()[0][-1])
+            self.current_track = np.asarray(self.buffers.supp_poses[i, j])
+            self.current_aff = np.asarray(self.buffers.supp_affine[i, j])
+        else:
+            self.current_track = np.asarray(self.buffers.poses[i])
+            self.current_aff = np.asarray(self.buffers.affine[i])
+            self.current_ts = self.host_kfs[-1].timestamp
+
+    # ------------------------------------------------------------- gating
+    def is_kf(self, timestamp: str):
+        """odometery.py:986-1016."""
+        start_id = self.config.dataset.start_id
+        num_init = self.config.alignment.init_frames
+        if int(timestamp) - start_id < num_init and not self.initialised:
+            return False, None
+        if int(timestamp) - start_id == num_init and not self.initialised:
+            return True, None
+
+        est = self.estimate_depth_latest_kf(self.current_track)
+        valid = est > 1e-6
+        validity_ratio = valid.sum() / valid.size
+        diff, scale = kf_criteria.translation_difference(
+            jnp.asarray(self.current_track),
+            jnp.asarray(self.host_kfs[-1].pose),
+            jnp.asarray(est),
+        )
+        is_kf = False
+        if validity_ratio < self.config.kf.depth_validity_ratio:
+            is_kf = True
+            print(f"new kf: low depth validity ratio {validity_ratio:.3f}")
+        if float(diff) > self.config.kf.translation_thresh:
+            is_kf = True
+            print(f"new kf: large pose diff {float(diff):.3f}")
+        return is_kf, float(scale)
+
+    # ------------------------------------------------------------ main loop
+    def run(self, max_frames: Optional[int] = None):
+        start_id = self.config.dataset.start_id
+        frame0 = self.dataset[start_id]
+        ts0 = self.id_to_timestamp(start_id)
+        self.frame_timestamps[ts0] = float(frame0.get("timestamp", start_id))
+        pose0 = np.asarray(frame0["T"], np.float32)
+        self.current_track = pose0
+        self.init_keyframe(frame0, pose0, ts0)
+
+        end = len(self.dataset) if max_frames is None else min(
+            len(self.dataset), start_id + max_frames
+        )
+        for frame_id in range(start_id + 1, end):
+            frame = self.dataset[frame_id]
+            timestamp = self.id_to_timestamp(frame_id)
+            self.frame_timestamps[timestamp] = float(frame.get("timestamp", frame_id))
+            self.track_frame(frame, timestamp)
+
+            if self.initialised and self.config.alignment.mapping.continual_steps > 0:
+                self.mapping(self.config.alignment.mapping.continual_steps, mode="supp")
+
+            if self.mapping_scheduled:
+                i = self.num_kfs - 1
+                if int(np.asarray(self.buffers.supp_valid[i]).sum()) >= 2:
+                    self.mapping(self.config.alignment.mapping.steps, mode="map")
+                    self.mapping_scheduled = False
+                    self.tracked = []
+                    self.buffers = window.clear_supporting(self.buffers, i)
+
+            kf_flag, _ = self.is_kf(timestamp)
+            if kf_flag:
+                self._flush_tracked_to_prev_kf()
+                self.init_keyframe(frame, self.current_track, timestamp)
+                self.tracked = []
+                if not self.initialised:
+                    self.mapping(self.config.alignment.mapping.init_steps, mode="init")
+                else:
+                    self.mapping_scheduled = True
+
+        traj_dir = self.config.save_path + "/traj"
+        io.save_trajectory(traj_dir, self.global_kf_trajectory, "final")
+        io.save_trajectory(
+            traj_dir, self.global_track_trajectory, "final", name="track_traj"
+        )
+        return self.global_kf_trajectory

@@ -1,0 +1,193 @@
+"""Fixed-capacity keyframe window buffers.
+
+The reference keeps Python lists of keyframes/poses/logdepths/affines plus
+per-KF supporting-frame lists (odometery.py:1223-1390).  For XLA we mirror
+that state into fixed-capacity stacked device arrays (SURVEY §7.3.5):
+
+  - ``W`` keyframe slots (window_size), each with an image, intrinsics, a
+    point bundle (shared capacity P), per-segment scalars (capacity N);
+  - ``S`` supporting slots per keyframe (supp frames are image+pose only);
+  - validity masks instead of list lengths.
+
+Host-side bookkeeping (which slot is which timestamp, eviction) stays in
+plain Python — it runs once per keyframe; the stacked buffers feed the
+jitted mapping scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class WindowBuffers(struct.PyTreeNode):
+    """Stacked device state for up to W keyframes with S supp slots each."""
+
+    # keyframes
+    images: jax.Array          # (W, H, Wd, C)
+    K: jax.Array               # (W, 3, 3) geometry intrinsics
+    poses: jax.Array           # (W, 4, 4) world-from-camera
+    kp_logdepth: jax.Array     # (W, N)
+    affine: jax.Array          # (W, 2)
+    kf_valid: jax.Array        # (W,) bool
+
+    # bundles (per keyframe)
+    uv: jax.Array              # (W, P, 2)
+    seg_id: jax.Array          # (W, P)
+    base_logdepth: jax.Array   # (W, P)
+    point_valid: jax.Array     # (W, P) bool
+    num_valid: jax.Array       # (W,)
+    kp_base: jax.Array         # (W, N)
+
+    # supporting frames
+    supp_images: jax.Array     # (W, S, H, Wd, C)
+    supp_poses: jax.Array      # (W, S, 4, 4)
+    supp_affine: jax.Array     # (W, S, 2)
+    supp_valid: jax.Array      # (W, S) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def supp_capacity(self) -> int:
+        return self.supp_images.shape[1]
+
+
+@dataclasses.dataclass
+class HostKeyFrame:
+    """Host-side per-keyframe record (the reference's pickled dict,
+    odometery/utils.py:5-26, plus the geometry maps needed for re-init)."""
+
+    timestamp: str
+    image: np.ndarray                  # (H, W, C) float32
+    K: np.ndarray
+    regions: np.ndarray                # (N_i, H, W) bool (actual count)
+    logdepth_perseg: np.ndarray        # (N_i, H, W)
+    keypoints_rc: np.ndarray           # (N_i, 2) int pixel (row, col)
+    pose: np.ndarray                   # (4, 4)
+    kp_logdepth: np.ndarray            # (N_i,)
+    affine: np.ndarray                 # (2,)
+
+
+def empty_window(
+    window_size: int,
+    supp_cap: int,
+    img_hw: tuple[int, int],
+    channels: int,
+    seg_cap: int,
+    point_cap: int,
+) -> WindowBuffers:
+    H, Wd = img_hw
+    W, S, N, P = window_size, supp_cap, seg_cap, point_cap
+    eye = jnp.tile(jnp.eye(4), (W, 1, 1))
+    return WindowBuffers(
+        images=jnp.zeros((W, H, Wd, channels)),
+        K=jnp.tile(jnp.eye(3), (W, 1, 1)),
+        poses=eye,
+        kp_logdepth=jnp.zeros((W, N)),
+        affine=jnp.zeros((W, 2)),
+        kf_valid=jnp.zeros((W,), bool),
+        uv=jnp.zeros((W, P, 2)),
+        seg_id=jnp.zeros((W, P), jnp.int32),
+        base_logdepth=jnp.zeros((W, P)),
+        point_valid=jnp.zeros((W, P), bool),
+        num_valid=jnp.zeros((W,), jnp.int32),
+        kp_base=jnp.zeros((W, N)),
+        supp_images=jnp.zeros((W, S, H, Wd, channels)),
+        supp_poses=jnp.tile(jnp.eye(4), (W, S, 1, 1)),
+        supp_affine=jnp.zeros((W, S, 2)),
+        supp_valid=jnp.zeros((W, S), bool),
+    )
+
+
+def set_keyframe_slot(
+    buffers: WindowBuffers,
+    slot: int,
+    image: np.ndarray,
+    K: np.ndarray,
+    pose: np.ndarray,
+    kp_logdepth: np.ndarray,
+    affine: np.ndarray,
+    bundle_uv: np.ndarray,
+    bundle_seg: np.ndarray,
+    bundle_base: np.ndarray,
+    bundle_valid: np.ndarray,
+    bundle_n: int,
+    kp_base: np.ndarray,
+) -> WindowBuffers:
+    """Write one keyframe into a slot (host->device, per-KF cadence).
+
+    Per-segment arrays are padded to the window's segment capacity.
+    """
+    N = buffers.kp_logdepth.shape[1]
+    n = kp_logdepth.shape[0]
+    if n > N:
+        raise ValueError(f"segment cap {N} < {n}")
+    kp_ld = np.zeros(N, np.float32)
+    kp_ld[:n] = kp_logdepth
+    kp_b = np.zeros(N, np.float32)
+    kp_b[:n] = kp_base
+
+    return buffers.replace(
+        images=buffers.images.at[slot].set(jnp.asarray(image)),
+        K=buffers.K.at[slot].set(jnp.asarray(K, jnp.float32)),
+        poses=buffers.poses.at[slot].set(jnp.asarray(pose, jnp.float32)),
+        kp_logdepth=buffers.kp_logdepth.at[slot].set(jnp.asarray(kp_ld)),
+        affine=buffers.affine.at[slot].set(jnp.asarray(affine, jnp.float32)),
+        kf_valid=buffers.kf_valid.at[slot].set(True),
+        uv=buffers.uv.at[slot].set(jnp.asarray(bundle_uv)),
+        seg_id=buffers.seg_id.at[slot].set(jnp.asarray(bundle_seg)),
+        base_logdepth=buffers.base_logdepth.at[slot].set(jnp.asarray(bundle_base)),
+        point_valid=buffers.point_valid.at[slot].set(jnp.asarray(bundle_valid)),
+        num_valid=buffers.num_valid.at[slot].set(bundle_n),
+        kp_base=buffers.kp_base.at[slot].set(jnp.asarray(kp_b)),
+        supp_valid=buffers.supp_valid.at[slot].set(jnp.zeros_like(buffers.supp_valid[slot])),
+    )
+
+
+def roll_window(buffers: WindowBuffers) -> WindowBuffers:
+    """Evict slot 0 (the reference's pop_kf(0), odometery.py:184-194):
+    shift all slots left; the last slot becomes invalid/free."""
+    def shift(x):
+        return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+    rolled = jax.tree.map(shift, buffers)
+    return rolled.replace(
+        kf_valid=rolled.kf_valid.at[-1].set(False),
+    )
+
+
+def set_supporting_slot(
+    buffers: WindowBuffers,
+    kf_slot: int,
+    supp_slot: int,
+    image: np.ndarray,
+    pose: np.ndarray,
+    affine: np.ndarray,
+) -> WindowBuffers:
+    return buffers.replace(
+        supp_images=buffers.supp_images.at[kf_slot, supp_slot].set(jnp.asarray(image)),
+        supp_poses=buffers.supp_poses.at[kf_slot, supp_slot].set(
+            jnp.asarray(pose, jnp.float32)
+        ),
+        supp_affine=buffers.supp_affine.at[kf_slot, supp_slot].set(
+            jnp.asarray(affine, jnp.float32)
+        ),
+        supp_valid=buffers.supp_valid.at[kf_slot, supp_slot].set(True),
+    )
+
+
+def clear_supporting(buffers: WindowBuffers, kf_slot: Optional[int] = None) -> WindowBuffers:
+    if kf_slot is None:
+        return buffers.replace(supp_valid=jnp.zeros_like(buffers.supp_valid))
+    return buffers.replace(
+        supp_valid=buffers.supp_valid.at[kf_slot].set(
+            jnp.zeros_like(buffers.supp_valid[kf_slot])
+        )
+    )

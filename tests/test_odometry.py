@@ -1,0 +1,133 @@
+"""End-to-end odometry on a synthetic rendered sequence with the GT-depth
+stub frontend — exercises tracking, supp/init/map mapping, gating, window
+roll, trajectory export."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from super_primitive_tpu.config import load_config
+from super_primitive_tpu.frontend.stub import GridSegmentFrontend
+from super_primitive_tpu.geometry import projection
+from super_primitive_tpu.lie import se3
+from super_primitive_tpu.odometry.odometry import Odometry
+from super_primitive_tpu.ops.sampling import sample_at_pixels
+
+from synthetic import smooth_texture
+
+
+class PlaneSequence:
+    """Synthetic dataset: camera translating/rotating in front of a textured
+    plane at world z = Z0.  Frame k's image is rendered exactly from the
+    canonical texture via the plane homography; GT depth is analytic."""
+
+    def __init__(self, n_frames=12, H=48, W=64, Z0=2.0, step=0.035):
+        self.H, self.W, self.Z0 = H, W, Z0
+        self.K = np.array(
+            [[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1.0]], np.float32
+        )
+        self.tex = jnp.asarray(smooth_texture(H, W))
+        self.poses = []
+        for k in range(n_frames):
+            xi = np.asarray(
+                [0.004 * k, -0.003 * k, 0.002 * k, step * k, 0.5 * step * k, -0.2 * step * k],
+                np.float32,
+            )
+            self.poses.append(np.asarray(se3.exp(jnp.asarray(xi))))  # Twc
+        self.frames = [self._render(T) for T in self.poses]
+
+    def _render(self, Twc):
+        H, W = self.H, self.W
+        Kj = jnp.asarray(self.K)
+        Kinv = jnp.linalg.inv(Kj)
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+        uvg = jnp.asarray(np.stack([u.ravel(), v.ravel()], -1))
+        rays_cam = jnp.concatenate([uvg, jnp.ones((H * W, 1))], -1) @ Kinv.T
+        T = jnp.asarray(Twc, jnp.float32)
+        # depth along ray to world plane z = Z0: (R d r + t)_z = Z0
+        denom = rays_cam @ T[2, :3]
+        d = (self.Z0 - T[2, 3]) / denom
+        X_w = projection.transform(rays_cam * d[:, None], T)
+        # canonical camera = identity: project into frame 0
+        uv0 = projection.project(X_w, Kj)
+        vals, valid = sample_at_pixels(self.tex, uv0)
+        img = np.asarray(vals).reshape(H, W, 3)
+        depth = np.asarray(d).reshape(H, W).astype(np.float32)
+        depth[~np.asarray(valid).reshape(H, W)] = 0.0
+        return img, depth
+
+    def __len__(self):
+        return len(self.poses)
+
+    def __getitem__(self, idx):
+        img, depth = self.frames[idx]
+        return {
+            "image": (img * 255).astype(np.uint8),
+            "depth": depth,
+            "T": self.poses[idx],
+            "intrinsics": self.K,
+            "timestamp": float(idx),
+        }
+
+
+def pose_err(T_a, T_b):
+    return float(np.linalg.norm(np.asarray(se3.log(
+        jnp.asarray(np.linalg.inv(T_a) @ T_b, jnp.float32)))))
+
+
+@pytest.fixture(scope="module")
+def odom_result(tmp_path_factory):
+    ds = PlaneSequence(n_frames=12)
+    cfg = load_config({
+        "save_path": str(tmp_path_factory.mktemp("odom")),
+        "window_size": 3,
+        "aligment": {
+            "mono_init": False,
+            "affine_compensation": False,
+            "opt_supporting": True,
+            "init_frames": 3,
+            "mapping": {"supp_every_n": 3, "init_steps": 60,
+                        "steps": 40, "continual_steps": 5},
+            "track": {"lr": 5e-3, "pyramid_min": 0, "pyramid_max": 2,
+                      "steps": [0, 250]},
+        },
+        "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.10},
+    })
+    frontend = GridSegmentFrontend(rows=4, cols=5)
+    odom = Odometry(cfg, frontend, ds)
+    traj = odom.run()
+    return ds, odom, traj
+
+
+class TestOdometry:
+    def test_runs_and_tracks(self, odom_result):
+        ds, odom, traj = odom_result
+        assert len(traj) >= 2              # at least init + one more KF
+        assert len(odom.global_track_trajectory) == len(ds) - 1
+
+    def test_tracking_accuracy(self, odom_result):
+        ds, odom, traj = odom_result
+        errs = []
+        for ts, T in odom.global_track_trajectory.items():
+            gt = ds.poses[int(ts)]
+            errs.append(pose_err(T, gt))
+        errs = np.asarray(errs)
+        # tracked poses should stay close to GT on this easy sequence
+        assert np.median(errs) < 0.05, errs
+
+    def test_kf_trajectory_accuracy(self, odom_result):
+        ds, odom, traj = odom_result
+        errs = [pose_err(T, ds.poses[int(ts)]) for ts, T in traj.items()]
+        assert np.median(np.asarray(errs)) < 0.05, errs
+
+    def test_window_capacity_respected(self, odom_result):
+        _, odom, _ = odom_result
+        assert odom.num_kfs <= odom.window_size
+        assert len(odom.host_kfs) == odom.num_kfs
+
+    def test_trajectory_files_written(self, odom_result):
+        _, odom, _ = odom_result
+        import os
+        traj_dir = odom.config.save_path + "/traj"
+        assert os.path.exists(os.path.join(traj_dir, "kf_traj_final.json"))
+        assert os.path.exists(os.path.join(traj_dir, "track_traj_final.json"))
