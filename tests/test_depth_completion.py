@@ -1,0 +1,136 @@
+"""Depth completion + VOID metrics tests (stub frontend)."""
+
+import numpy as np
+
+from super_primitive_tpu.depth_completion.completion import (
+    DepthCompletion,
+    render_depth_avg,
+)
+from super_primitive_tpu.depth_completion.fill_in import fill_single_griddata
+from super_primitive_tpu.depth_completion.metrics import (
+    ErrorMetrics,
+    ErrorMetricsAverager,
+    delta_metric,
+)
+
+
+class PatchFrontend:
+    """Stub: one square segment per sparse keypoint, frozen logdepth taken
+    from a GT depth map (so median shift alignment is exact)."""
+
+    def __init__(self, gt_depth, patch=9):
+        self.gt = np.asarray(gt_depth, np.float32)
+        self.patch = patch
+        self.calls = []
+
+    def process_to_kf(self, image, K, keypoints=None, loose=False):
+        self.calls.append(loose)
+        H, W = self.gt.shape
+        dims = np.asarray([H, W], np.float32)
+        kp_rc = np.round(0.5 * (dims - 1) * (keypoints + 1)).astype(np.int64)
+        p = self.patch * (2 if loose else 1)
+        N = kp_rc.shape[0]
+        regions = np.zeros((N, H, W), bool)
+        for i, (r, c) in enumerate(kp_rc):
+            r0, r1 = max(0, r - p // 2), min(H, r + p // 2 + 1)
+            c0, c1 = max(0, c - p // 2), min(W, c + p // 2 + 1)
+            regions[i, r0:r1, c0:c1] = True
+        logdepth = np.log(np.maximum(self.gt, 1e-6))[None] * regions
+        return {
+            "image": np.asarray(image, np.float32),
+            "K": np.asarray(K, np.float32),
+            "regions": regions,
+            "logdepth_perseg": logdepth.astype(np.float32),
+            "keypoints_rc": kp_rc,
+        }
+
+
+def make_case(H=40, W=52, n_sparse=25, seed=0):
+    r = np.random.default_rng(seed)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    gt = (1.5 + 0.3 * np.sin(u * 0.1) + 0.2 * np.cos(v * 0.13)).astype(np.float32)
+    sparse = np.zeros((H, W), np.float32)
+    idx = r.choice(H * W, n_sparse, replace=False)
+    sparse.reshape(-1)[idx] = gt.reshape(-1)[idx]
+    K = np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1.0]])
+    return gt, sparse, K
+
+
+class TestCompletion:
+    def test_exact_on_gt_logdepth(self):
+        gt, sparse, K = make_case()
+        fe = PatchFrontend(gt)
+        dc = DepthCompletion(fe)
+        img = np.zeros((*gt.shape, 3), np.uint8)
+        depth, invalid = dc.depth_completion(img, K, sparse)
+        # where covered, completion must equal GT (shift alignment exact)
+        np.testing.assert_allclose(depth[~invalid], gt[~invalid], rtol=1e-5)
+        assert (~invalid).sum() > 0
+
+    def test_fallback_rerun_on_low_coverage(self):
+        gt, _, K = make_case(n_sparse=2)  # tiny coverage -> rerun
+        sparse = np.zeros_like(gt)
+        sparse[5, 5] = gt[5, 5]
+        sparse[30, 40] = gt[30, 40]
+        fe = PatchFrontend(gt, patch=5)
+        dc = DepthCompletion(fe)
+        depth, invalid = dc.depth_completion(
+            np.zeros((*gt.shape, 3), np.uint8), K, sparse
+        )
+        assert fe.calls == [False, True]  # fallback triggered
+        assert (~invalid).sum() > 25      # loose patch covers more
+
+    def test_render_depth_avg_overlap(self):
+        d = np.full((2, 4, 4), -1.0, np.float32)
+        d[0, :2] = 2.0
+        d[1, 1:3] = 4.0
+        avg, invalid = render_depth_avg(d)
+        np.testing.assert_allclose(avg[0, 0], 2.0, rtol=1e-5)
+        np.testing.assert_allclose(avg[1, 0], 3.0, rtol=1e-5)  # overlap average
+        np.testing.assert_allclose(avg[2, 0], 4.0, rtol=1e-5)
+        assert invalid[3, 0]
+
+    def test_fill_griddata(self):
+        gt, _, _ = make_case()
+        invalid = np.zeros_like(gt, bool)
+        invalid[10:20, 10:20] = True
+        depth = gt.copy()
+        depth[invalid] = 0
+        filled = fill_single_griddata(depth, invalid)
+        assert np.all(np.isfinite(filled))
+        # interpolation of a smooth field should be close
+        assert np.abs(filled - gt).max() < 0.05
+
+
+class TestMetrics:
+    def test_formulas(self):
+        r = np.random.default_rng(1)
+        est = r.uniform(1.0, 3.0, (30, 40)).astype(np.float64)
+        tgt = est + r.normal(0, 0.1, est.shape)
+        valid = np.ones_like(est, bool)
+        m = ErrorMetrics()
+        m.compute(est, tgt, valid)
+        np.testing.assert_allclose(
+            m.rmse, np.sqrt(np.mean((1000 * (est - tgt)) ** 2))
+        )
+        np.testing.assert_allclose(
+            m.inv_mae, np.mean(np.abs(1 / (0.001 * est) - 1 / (0.001 * tgt)))
+        )
+
+    def test_averager(self):
+        avg = ErrorMetricsAverager()
+        for v in (1.0, 3.0):
+            m = ErrorMetrics()
+            m.rmse = m.mae = m.absrel = v
+            m.inv_rmse = m.inv_mae = m.inv_absrel = v * 2
+            avg.accumulate(m)
+        avg.average()
+        assert avg.rmse_avg == 2.0
+        assert avg.inv_rmse_avg == 4.0
+
+    def test_delta(self):
+        est = np.asarray([1.0, 1.2, 2.0])
+        tgt = np.asarray([1.0, 1.0, 1.0])
+        d = delta_metric(est, tgt)
+        np.testing.assert_allclose(d["a1"], 2 / 3)  # <1.25: [1.0, 1.2]
+        np.testing.assert_allclose(d["a5"], 1 / 3)
