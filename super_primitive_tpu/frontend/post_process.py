@@ -1,0 +1,108 @@
+"""Segment post-processing: depth-discontinuity splitting.
+
+Reference: frontend/segment/post_processer.py — detect depth discontinuities
+per segment (max-pool the depth then Scharr-gradient threshold, :13-29),
+erase discontinuity pixels, split the remainder into connected components
+(:57-64 via cupy; here via the on-device labeler), keep parts above an area
+ratio, and re-seed one keypoint per part (:110-157).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..image.gradients import scharr_gradients
+from ..ops.connected_components import label_components
+
+
+def max_pool2d_same(x: jax.Array, k: int) -> jax.Array:
+    """Stride-1 max pool with same padding on (N, H, W)."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad)),
+    )
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def depth_discontinuity(
+    logdepth: jax.Array, validity: jax.Array, filter_size: int = 3, threshold: float = 0.1
+) -> jax.Array:
+    """post_processer.py:13-29: exp -> invalid=-1 -> maxpool -> Scharr
+    magnitude > threshold, restricted to valid pixels."""
+    depth = jnp.exp(logdepth)
+    depth = jnp.where(validity, depth, -1.0)
+    pooled = max_pool2d_same(depth, filter_size)
+    gx, gy = scharr_gradients(pooled.transpose(1, 2, 0))
+    grad = jnp.sqrt(gx**2 + gy**2).transpose(2, 0, 1)
+    return (grad > threshold) & validity
+
+
+def split_disconnected_segments(
+    regions: np.ndarray,
+    logdepth_perseg: np.ndarray,
+    keypoints_rc: np.ndarray,
+    filter_size: int = 3,
+    depth_threshold: float = 0.1,
+    area_keep_ratio: float = 1e-3,
+    rng: np.random.Generator | None = None,
+):
+    """Full kf_fix_disconnected_regions (post_processer.py:160-181).
+
+    Returns new (regions, logdepth_perseg, keypoints_rc) with split segments.
+    Keypoint re-seeding samples a random in-part pixel (reference
+    sample_pts_in_mask, :67-84); single-part segments keep their original
+    mask and keypoint (:138-141).
+    """
+    rng = rng or np.random.default_rng(0)
+    N, H, W = regions.shape
+    disc = np.asarray(
+        depth_discontinuity(
+            jnp.asarray(logdepth_perseg), jnp.asarray(regions),
+            filter_size, depth_threshold,
+        )
+    )
+    split_masks = regions & ~disc
+    labels = np.asarray(label_components(jnp.asarray(split_masks)))
+
+    out_masks, out_logdepth, out_kp = [], [], []
+    for i in range(N):
+        lab = labels[i]
+        uniq = np.unique(lab[lab >= 0])
+        if uniq.size == 0:
+            continue
+        parts = lab[None] == uniq[:, None, None]          # (K, H, W)
+        sizes = parts.reshape(len(uniq), -1).sum(axis=1)
+        keep = (sizes.astype(np.float64) / (H * W)) > area_keep_ratio
+        if keep.sum() == 0:
+            continue
+        if keep.sum() == 1:
+            out_masks.append(regions[i][None])
+            out_logdepth.append(logdepth_perseg[i][None])
+            out_kp.append(keypoints_rc[i][None])
+        else:
+            kept = parts[keep]
+            out_masks.append(kept)
+            out_logdepth.append(
+                np.broadcast_to(logdepth_perseg[i], kept.shape).copy()
+            )
+            kps = np.zeros((kept.shape[0], 2), keypoints_rc.dtype)
+            for j in range(kept.shape[0]):
+                rr, cc = np.nonzero(kept[j])
+                k = rng.integers(0, rr.size)
+                kps[j] = [rr[k], cc[k]]
+            out_kp.append(kps)
+
+    if not out_masks:
+        return regions, logdepth_perseg, keypoints_rc
+    return (
+        np.concatenate(out_masks, axis=0),
+        np.concatenate(out_logdepth, axis=0),
+        np.concatenate(out_kp, axis=0),
+    )

@@ -1,0 +1,95 @@
+"""Batched 2D connected-component labeling on device.
+
+Replaces ``cupyx.scipy.ndimage.label`` with the batch-isolating structure
+(reference: frontend/segment/post_processer.py:39-64; the 3D structure with
+empty pre/post planes exists precisely to prevent cross-batch merging —
+here batching is native).
+
+Algorithm: iterative min-label propagation — initialize every foreground
+pixel with its linear index, repeatedly take the min over the 4-neighborhood
+(masked), until fixpoint.  Runs as a ``lax.while_loop`` of pure stencil ops;
+worst-case iterations bounded by the longest geodesic path, with an 8-step
+jump between convergence checks to amortize the reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _propagate_once(labels: jax.Array, mask: jax.Array) -> jax.Array:
+    big = jnp.asarray(jnp.iinfo(labels.dtype).max, labels.dtype)
+
+    def shift(x, dr, dc):
+        x = jnp.roll(x, (dr, dc), axis=(-2, -1))
+        H, W = x.shape[-2], x.shape[-1]
+        if dr == 1:
+            x = x.at[..., 0, :].set(big)
+        if dr == -1:
+            x = x.at[..., H - 1, :].set(big)
+        if dc == 1:
+            x = x.at[..., :, 0].set(big)
+        if dc == -1:
+            x = x.at[..., :, W - 1].set(big)
+        return x
+
+    m = jnp.minimum(
+        jnp.minimum(shift(labels, 1, 0), shift(labels, -1, 0)),
+        jnp.minimum(shift(labels, 0, 1), shift(labels, 0, -1)),
+    )
+    out = jnp.minimum(labels, m)
+    return jnp.where(mask, out, big)
+
+
+@jax.jit
+def label_components(masks: jax.Array) -> jax.Array:
+    """Label 4-connected components of (N, H, W) boolean masks.
+
+    Returns int32 labels: background -1; foreground pixels share a label iff
+    connected within their own mask (labels are component-root linear
+    indices, unique within each batch element; NOT renumbered 1..K — use
+    :func:`relabel_consecutive_np` for that).
+    """
+    N, H, W = masks.shape
+    big = jnp.iinfo(jnp.int32).max
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
+    labels = jnp.where(masks, jnp.broadcast_to(lin, masks.shape), big)
+
+    def jump(labels):
+        # pointer jumping: label <- label[label]; foreground labels always
+        # reference foreground pixels, so the clip only touches background
+        # sentinels which the final where() masks out anyway
+        flat = labels.reshape(N, H * W)
+        idx = jnp.clip(flat, 0, H * W - 1)
+        jumped = jnp.take_along_axis(flat, idx, axis=1).reshape(N, H, W)
+        return jnp.where(masks, jnp.minimum(labels, jumped), big)
+
+    def cond(state):
+        labels, changed, it = state
+        return jnp.logical_and(changed, it < H * W)
+
+    def body(state):
+        labels, _, it = state
+        new = labels
+        for _ in range(4):
+            new = _propagate_once(new, masks)
+            new = jump(new)
+        return new, jnp.any(new != labels), it + 4
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True), 0))
+    return jnp.where(masks, labels, -1)
+
+
+def relabel_consecutive_np(labels: np.ndarray) -> tuple[np.ndarray, int]:
+    """Renumber one (H, W) label image to consecutive 0..K-1 over unique
+    labels (background -1 included as a label, matching the reference's
+    remap_labels_to_arange over the raw cupy output,
+    post_processer.py:86-96)."""
+    labels = np.asarray(labels)
+    uniq = np.unique(labels)
+    out = np.searchsorted(uniq, labels)
+    return out.astype(np.int32), len(uniq)
