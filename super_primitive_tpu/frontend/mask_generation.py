@@ -1,0 +1,273 @@
+"""SAM mask generation pipeline.
+
+Reference: frontend/segment/mask_generation.py — random query points ->
+SAM multimask logits -> IoU + stability filtering with smallest-good-mask
+selection (:13-95) -> box NMS preferring smaller boxes (:179-189) ->
+coverage-driven active resampling of uncovered 16x-pooled cells (:98-139) ->
+second SAM round -> edge maps from mask gradients (:291-312) -> off-mask
+keypoint filtering (:261-272).
+
+The mask model is injected as ``predict(image, keypoints_norm) ->
+(mask_logits (B, 3, H, W), iou (B, 3))`` so the Flax SAM predictor and test
+fakes are interchangeable.  Selection/filtering is vectorized numpy (runs
+once per keyframe; candidate count is data-dependent so host-side ragged
+code is the right tool — the device work is the model itself).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK_THRESH = 0.0
+STABILITY_OFFSET = 1.0
+
+
+def calculate_stability_score(mask_logits: np.ndarray, thresh: float, offset: float):
+    """IoU between thresholded masks at (t+o) and (t-o) — the SAM stability
+    score (amg semantics)."""
+    hi = (mask_logits > (thresh + offset)).sum(axis=(-2, -1), dtype=np.int64)
+    lo = (mask_logits > (thresh - offset)).sum(axis=(-2, -1), dtype=np.int64)
+    return hi / np.maximum(lo, 1)
+
+
+def mask_to_box(masks: np.ndarray) -> np.ndarray:
+    """(N, H, W) bool -> (N, 4) xyxy boxes; empty masks give zero boxes
+    (amg batched_mask_to_box semantics)."""
+    N, H, W = masks.shape
+    boxes = np.zeros((N, 4), np.float32)
+    any_r = masks.any(axis=2)
+    any_c = masks.any(axis=1)
+    for i in range(N):
+        rr = np.nonzero(any_r[i])[0]
+        cc = np.nonzero(any_c[i])[0]
+        if rr.size and cc.size:
+            boxes[i] = [cc[0], rr[0], cc[-1] + 1, rr[-1] + 1]
+    return boxes
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), axis=-1)
+    area_a = np.prod(a[:, 2:] - a[:, :2], axis=-1)
+    area_b = np.prod(b[:, 2:] - b[:, :2], axis=-1)
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """torchvision-nms semantics: keep by descending score, suppress
+    IoU > threshold.  Returns kept indices in score order."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    ious = box_iou(boxes, boxes)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        suppressed |= ious[i] > iou_threshold
+        suppressed[i] = True
+    return np.asarray(keep, np.int64)
+
+
+def smallest_good_mask_batch(
+    mask_logits: np.ndarray,
+    iou_pred: np.ndarray,
+    iou_threshold: float = 0.0,
+    stability_score_thresh: float = 0.90,
+    select_smallest: bool = True,
+):
+    """Reference smallest_good_mask_batch (mask_generation.py:13-95).
+
+    select_smallest: keep keypoints with >= 1 good candidate and pick their
+    smallest good binarized mask; otherwise flatten all candidates and filter
+    per-candidate.
+    Returns dict(masks bool (M, H, W), iou_preds (M,), keypoints_ids (M,),
+    boxes (M, 4)).
+    """
+    B = mask_logits.shape[0]
+    kp_ids = np.arange(B)
+
+    if select_smallest:
+        good = np.ones((B, 3), bool)
+        if iou_threshold > 0:
+            good &= iou_pred > iou_threshold
+            keep_kp = good.any(axis=1)
+            mask_logits, iou_pred, good, kp_ids = (
+                mask_logits[keep_kp], iou_pred[keep_kp], good[keep_kp], kp_ids[keep_kp]
+            )
+        if stability_score_thresh > 0:
+            stab = calculate_stability_score(mask_logits, MASK_THRESH, STABILITY_OFFSET)
+            good &= stab >= stability_score_thresh
+            keep_kp = good.any(axis=1)
+            mask_logits, iou_pred, good, kp_ids = (
+                mask_logits[keep_kp], iou_pred[keep_kp], good[keep_kp], kp_ids[keep_kp]
+            )
+        masks_bin = mask_logits > MASK_THRESH
+        sizes = masks_bin.sum(axis=(-2, -1)).astype(np.float64)
+        sizes[~good] = 1e6
+        pick = sizes.argmin(axis=1)
+        ar = np.arange(masks_bin.shape[0])
+        masks = masks_bin[ar, pick]
+        ious = iou_pred[ar, pick]
+        result = {
+            "masks": masks, "iou_preds": ious, "keypoints_ids": kp_ids,
+            "masks_ids": pick,
+        }
+    else:
+        flat_logits = mask_logits.reshape(-1, *mask_logits.shape[2:])
+        flat_iou = iou_pred.reshape(-1)
+        flat_kp = np.repeat(kp_ids, 3)
+        keep = np.ones(len(flat_iou), bool)
+        if iou_threshold > 0:
+            keep &= flat_iou > iou_threshold
+        if stability_score_thresh > 0:
+            stab = calculate_stability_score(flat_logits, MASK_THRESH, STABILITY_OFFSET)
+            keep &= stab >= stability_score_thresh
+        result = {
+            "masks": flat_logits[keep] > MASK_THRESH,
+            "iou_preds": flat_iou[keep],
+            "keypoints_ids": flat_kp[keep],
+        }
+    result["boxes"] = mask_to_box(result["masks"])
+    return result
+
+
+def active_sample_pos(
+    coverage_mask: np.ndarray, num_samples: int, rng: np.random.Generator,
+    fine_noise: bool = True,
+):
+    """Categorical resampling of uncovered 16x-pooled cells + in-cell jitter
+    (mask_generation.py:98-139).  coverage_mask (H, W) bool; returns
+    normalized (row, col) keypoints (num_samples, 2)."""
+    H, W = coverage_mask.shape
+    down = 16
+    cm = coverage_mask.copy()
+    cm[-2:, :] = True  # SAM bottom-row artifact compensation (:105)
+    Hc, Wc = H // down, W // down
+    coarse = cm[: Hc * down, : Wc * down].reshape(Hc, down, Wc, down).mean(axis=(1, 3))
+    density = 1.0 - coarse
+    if density.sum() < 1e-9:
+        # fully covered: fall back to uniform (the reference's Categorical
+        # would fault here; coverage is never complete on real images)
+        density = np.ones_like(density)
+    p = density.ravel() / density.sum()
+
+    flat = rng.choice(Hc * Wc, size=num_samples, p=p)
+    cell_rc = np.stack([flat // Wc, flat % Wc], axis=1).astype(np.float32)
+    dims_c = np.asarray([Hc, Wc], np.float32)
+    norm = 2 * cell_rc / (dims_c - 1) - 1
+    if fine_noise:
+        dims = np.asarray([H, W], np.float32)
+        jitter_px = rng.integers(0, down // 2, size=(num_samples, 2)).astype(np.float32)
+        jitter = (2 * jitter_px / (dims - 1) - 1) + 1
+        norm = np.clip(norm + jitter, -1, 1)
+    return norm.astype(np.float32)
+
+
+def masks_to_edges(masks: np.ndarray) -> np.ndarray:
+    """Max Scharr magnitude over masks (mask_generation.py:291-303),
+    zero-padding variant (get_image_grad uses reflect=False... the reference
+    ImageGradientModule defaults to reflect=True here)."""
+    import jax.numpy as jnp
+
+    from ..image.gradients import scharr_gradients
+
+    f = jnp.asarray(masks.astype(np.float32)).transpose(1, 2, 0)
+    gx, gy = scharr_gradients(f)
+    mag = jnp.sqrt(gx**2 + gy**2)
+    return np.asarray(jnp.max(mag, axis=-1))
+
+
+def infer_edge_probs(masks: np.ndarray):
+    edges = masks_to_edges(masks)
+    return edges, np.clip(1 - 2 * edges, 0, 1)
+
+
+def infer_masks(
+    predict_fn,
+    image: np.ndarray,
+    sam_params,
+    keypoints: np.ndarray | None = None,
+    num_pts: int = 300,
+    num_pts_active: int = 100,
+    rng: np.random.Generator | None = None,
+):
+    """Full two-round mask generation (mask_generation.py:143-288).
+
+    ``predict_fn(image, keypoints_norm) -> (logits (B, 3, H, W), iou (B, 3))``.
+    Returns dict with masks, keypoints (normalized row-col), coverage, edges.
+    """
+    rng = rng or np.random.default_rng(42)
+    H, W = image.shape[:2]
+    if keypoints is None:
+        keypoints = (rng.random((num_pts, 2)) * 2 - 1).astype(np.float32)
+
+    def run_round(kps):
+        logits, iou = predict_fn(image, kps)
+        sel = smallest_good_mask_batch(
+            np.asarray(logits), np.asarray(iou),
+            iou_threshold=sam_params.iou_threshold,
+            stability_score_thresh=sam_params.stability_threshold,
+            select_smallest=sam_params.select_smallest,
+        )
+        kps_f = kps[sel["keypoints_ids"]]
+        if sam_params.nms:
+            area = np.prod(sel["boxes"][:, 2:] - sel["boxes"][:, :2], axis=-1)
+            scores = (
+                1.0 / np.maximum(area, 1e-9)
+                if sam_params.filter_by_box_size
+                else sel["iou_preds"]
+            )
+            keep = nms(sel["boxes"], scores, sam_params.box_nms_thresh)
+            for k in ("masks", "iou_preds", "keypoints_ids", "boxes"):
+                if k in sel:
+                    sel[k] = sel[k][keep]
+            kps_f = kps_f[keep]
+        return sel, kps_f
+
+    sel, kps_f = run_round(keypoints)
+    coverage = sel["masks"].any(axis=0) if len(sel["masks"]) else np.zeros((H, W), bool)
+
+    num_added = 0
+    if num_pts_active > 0:
+        kps_active = active_sample_pos(coverage, num_pts_active, rng)
+        sel2, kps2_f = run_round(kps_active)
+        num_added = len(kps2_f)
+        sel = {
+            "masks": np.concatenate([sel["masks"], sel2["masks"]], axis=0),
+            "iou_preds": np.concatenate([sel["iou_preds"], sel2["iou_preds"]]),
+            "boxes": np.concatenate([sel["boxes"], sel2["boxes"]], axis=0),
+        }
+        kps_f = np.concatenate([kps_f, kps2_f], axis=0)
+
+    edges, edge_probs = (
+        infer_edge_probs(sel["masks"])
+        if len(sel["masks"])
+        else (np.zeros((H, W), np.float32), np.ones((H, W), np.float32))
+    )
+
+    if sam_params.cut_masks_by_edges and len(sel["masks"]):
+        valid = edge_probs > sam_params.edge_probs_threshold
+        sel["masks"] = sel["masks"] & valid[None]
+
+    if sam_params.filter_edge_points and len(sel["masks"]):
+        dims = np.asarray([H, W], np.float32)
+        kp_px = np.round(0.5 * (dims - 1) * (kps_f + 1)).astype(np.int64)
+        on_mask = sel["masks"][np.arange(len(kps_f)), kp_px[:, 0], kp_px[:, 1]]
+        sel = {k: v[on_mask] for k, v in sel.items()}
+        kps_f = kps_f[on_mask]
+
+    final_coverage = (
+        sel["masks"].any(axis=0) if len(sel["masks"]) else np.zeros((H, W), bool)
+    )
+    return {
+        "masks": sel["masks"],
+        "iou_preds": sel["iou_preds"],
+        "keypoints": kps_f,
+        "num_active": num_added,
+        "coarse_coverage": coverage,
+        "final_coverage": final_coverage,
+        "edges": edges,
+        "edge_probs": edge_probs,
+    }

@@ -1,0 +1,213 @@
+"""Full perception frontend: normals -> SAM masks -> BiNI integration -> KF.
+
+Reference: frontend/process_frame.py (FrontProcessorNew).  Pipeline per
+keyframe (:121-255):
+  1. surface-normal net at network_dim (480x640), normals NN-resized to the
+     integration shape (240x320) with K rescaled accordingly;
+  2. SAM mask generation at infer_resolution (960x1280), masks NN-resized
+     back to image res then to the integration shape;
+  3. batched BiNI integration per segment -> depth up to scale;
+  4. image bilinearly downsampled to KF size (1/2^downsample_pow), the
+     integrated depth NN-resized to KF size, validity = depth > 1e-7,
+     keypoints snapped into masks, log taken in-mask (:231-236);
+  5. optional depth-discontinuity split (:246-250).
+
+Models are injected as callables so the Flax SAM/NNET and test fakes are
+interchangeable:
+  normals_fn(image_hwc01) -> (normals (H, W, 3), kappa (H, W, 1))
+  mask_predict_fn(image_hwc_uint8, keypoints_norm) -> (logits (B,3,H,W), iou)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import Config
+from ..integrate.bini import BiniConfig, integrate_to_depth
+from ..keyframe import put_keypoints_back
+from .mask_generation import infer_masks
+from .post_process import split_disconnected_segments
+
+
+def _nn_resize(x: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize on (..., H, W) or (H, W, C) arrays."""
+    H, W = hw
+    if x.ndim == 2:
+        return cv2.resize(x, (W, H), interpolation=cv2.INTER_NEAREST)
+    if x.ndim == 3 and x.shape[-1] <= 4:
+        return cv2.resize(x, (W, H), interpolation=cv2.INTER_NEAREST)
+    # leading-batch masks (N, H, W)
+    return np.stack(
+        [cv2.resize(m.astype(np.uint8), (W, H), interpolation=cv2.INTER_NEAREST)
+         for m in x]
+    ).astype(x.dtype)
+
+
+def scale_K(K: np.ndarray, scale_h: float, scale_w: float) -> np.ndarray:
+    """Anisotropic K rescale (tool/camera.py:12-22)."""
+    K = np.asarray(K, np.float64).copy()
+    K[0] *= scale_w
+    K[1] *= scale_h
+    return K
+
+
+class FrontProcessor:
+    def __init__(
+        self,
+        config: Config,
+        normals_fn: Callable,
+        mask_predict_fn: Callable,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.config = config
+        self.normals_fn = normals_fn
+        self.mask_predict_fn = mask_predict_fn
+        self.rng = rng or np.random.default_rng(42)
+
+    # ------------------------------------------------------------------
+    def process_to_kf(self, image, K, keypoints=None, loose=False) -> dict:
+        fc = self.config.frontend
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        H, W = image.shape[:2]
+        Hg, Wg = fc.normals.integration_shape
+        K_geom = scale_K(K, Hg / H, Wg / W)
+
+        # 1. normals at network dim -> NN resize to integration shape
+        img01 = image.astype(np.float32) / 255.0
+        normals, kappa = self.normals_fn(img01)
+        normals = np.asarray(normals)
+        if normals.shape[:2] != (Hg, Wg):
+            normals = _nn_resize(normals, (Hg, Wg))
+
+        # 2. SAM masks at infer_resolution
+        sam_hw = self.config.sam_params.infer_resolution
+        sam_img = cv2.resize(
+            image, (sam_hw[1], sam_hw[0]), interpolation=cv2.INTER_LINEAR
+        )
+        sam_params = self.config.sam_params
+        if loose:
+            # depth-completion fallback (segment_based_completion.py:33-35)
+            import dataclasses
+
+            sam_params = dataclasses.replace(
+                sam_params, nms=False, select_smallest=False
+            )
+        gen = infer_masks(
+            self.mask_predict_fn, sam_img, sam_params,
+            keypoints=keypoints,
+            num_pts=fc.num_pts, num_pts_active=fc.num_pts_active, rng=self.rng,
+        )
+        masks = gen["masks"]
+        if masks.shape[0] == 0:
+            raise RuntimeError("frontend produced no masks")
+        masks_coarse = _nn_resize(masks, (Hg, Wg)).astype(bool)
+
+        # 3. BiNI integration per segment at geometry resolution
+        bini_cfg = BiniConfig(cg_max_iter=fc.cg_max_iter, cg_tol=fc.cg_tol)
+        depth_perseg = np.asarray(
+            integrate_to_depth(
+                jnp.asarray(normals), jnp.asarray(masks_coarse),
+                jnp.asarray(K_geom, jnp.float32), bini_cfg,
+            )
+        )
+
+        # 4. downsample image to KF size; depth NN-resized; log in-mask
+        s = 2 ** fc.downsample_pow
+        H_kf, W_kf = H // s, W // s
+        K_kf = scale_K(K, H_kf / H, W_kf / W)
+        image_kf = cv2.resize(
+            img01, (W_kf, H_kf), interpolation=cv2.INTER_LINEAR
+        ).astype(np.float32)
+
+        depth_kf = np.stack(
+            [_nn_resize(d, (H_kf, W_kf)) for d in depth_perseg]
+        )
+        regions = depth_kf > 1e-7
+        kps, regions, depth_kf = put_keypoints_back(
+            gen["keypoints"], regions, depth_kf
+        )
+        logdepth = np.where(regions, np.log(np.maximum(depth_kf, 1e-30)), 0.0)
+
+        dims = np.asarray([H_kf, W_kf], np.float32)
+        kp_rc = np.round(0.5 * (dims - 1) * (kps + 1)).astype(np.int64)
+
+        # 5. depth-discontinuity split
+        if fc.check_for_depth_disc:
+            regions, logdepth, kp_rc = split_disconnected_segments(
+                regions, logdepth.astype(np.float32), kp_rc,
+                fc.depth_disc_params.filter_size,
+                fc.depth_disc_params.depth_threshold,
+                fc.depth_disc_params.area_keep_ratio,
+                rng=self.rng,
+            )
+
+        return {
+            "image": image_kf,
+            "K": K_kf.astype(np.float32),
+            "regions": regions,
+            "logdepth_perseg": logdepth.astype(np.float32),
+            "keypoints_rc": kp_rc,
+            "normals": normals,
+            "edges": gen["edges"],
+        }
+
+    def process_to_supp_kf(self, image, K) -> dict:
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        s = 2 ** self.config.frontend.downsample_pow
+        H, W = image.shape[:2]
+        H_kf, W_kf = H // s, W // s
+        img = cv2.resize(image, (W_kf, H_kf), interpolation=cv2.INTER_LINEAR)
+        return {
+            "image": img.astype(np.float32),
+            "K": scale_K(K, H_kf / H, W_kf / W).astype(np.float32),
+        }
+
+
+def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
+    """Wire the real Flax models into a FrontProcessor.
+
+    Checkpoints are converted torch weights (nets/convert.py); when absent
+    this raises — use the stub frontends for checkpoint-free runs.
+    """
+    if sam_params_tree is None or nnet_params is None:
+        raise ValueError(
+            "SAM/NNET parameters required; convert the reference checkpoints "
+            "with nets/convert.py or use frontend.stub for synthetic runs"
+        )
+    from ..nets.nnet import predict_normals
+    from ..nets.sam.predictor import SamPredictor
+
+    predictor = SamPredictor(sam_params_tree)
+
+    def normals_fn(img01):
+        return predict_normals(
+            nnet_params, jnp.asarray(img01),
+            tuple(config.frontend.normals.network_dim),
+        )
+
+    def mask_predict_fn(image_uint8, kps_norm):
+        predictor.set_image(image_uint8)
+        H, W = image_uint8.shape[:2]
+        from .mask_generation import MASK_THRESH  # noqa: F401
+
+        h2, w2 = (
+            predictor._input_hw
+            if predictor._input_hw is not None
+            else (predictor.target_length, predictor.target_length)
+        )
+        # keypoints normalized (row, col) -> input-frame (x, y) pixels
+        dims = np.asarray([h2, w2], np.float32)
+        rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
+        xy = np.round(rc[:, ::-1])
+        masks, iou = predictor.predict_batched_points(xy)
+        return np.asarray(masks), np.asarray(iou)
+
+    return FrontProcessor(config, normals_fn, mask_predict_fn)

@@ -1,0 +1,134 @@
+"""Surface-normal (+kappa) network NNET in Flax.
+
+Reference: frontend/normals/scannet_model.py — EfficientNet-B5 encoder with
+feature taps + coarse-to-fine decoder emitting (nx, ny, nz, kappa) at
+1/8 -> 1/4 -> 1/2 -> 1/1 of the *decoder* resolution (which is 1/1 = half of
+input; out_res1 is at 1/2 input res), each refined by pointwise MLPs on
+upsampled features, with ELU-kappa normalization (:44-50).
+
+At inference the reference runs the full-pixel path (its train-time
+uncertainty-guided sampling never executes at eval), so only the dense
+branch is implemented.
+
+Channels-last; bilinear resizes use align_corners=True semantics to match
+``F.interpolate(..., align_corners=True)``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .efficientnet import EfficientNetFeatures
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def resize_bilinear_ac(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize with align_corners=True on (B, H, W, C)."""
+    B, H, W, C = x.shape
+    Ho, Wo = out_hw
+    ys = jnp.linspace(0.0, H - 1.0, Ho)
+    xs = jnp.linspace(0.0, W - 1.0, Wo)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    a = x[:, y0][:, :, x0]
+    b = x[:, y0][:, :, x1]
+    c = x[:, y1][:, :, x0]
+    d = x[:, y1][:, :, x1]
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    return top * (1 - wy) + bot * wy
+
+
+def norm_normalize(out: jax.Array) -> jax.Array:
+    """(nx, ny, nz, kappa) channels-last: unit-normalize the normal, kappa =
+    elu(k) + 1 + 0.01 (scannet_model.py:44-50)."""
+    n = out[..., :3]
+    kappa = out[..., 3:]
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)) + 1e-10
+    kappa = jax.nn.elu(kappa) + 1.0 + 0.01
+    return jnp.concatenate([n / norm, kappa], axis=-1)
+
+
+class UpSampleBN(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, skip):
+        up = resize_bilinear_ac(x, skip.shape[1:3])
+        h = jnp.concatenate([up, skip], axis=-1)
+        for i in range(2):
+            h = nn.Conv(self.out_ch, (3, 3), padding=1, name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=True, name=f"bn{i}")(h)
+            h = nn.leaky_relu(h, 0.01)
+        return h
+
+
+class RefineMLP(nn.Module):
+    """Pointwise refinement head (the reference's 1x1 Conv1d stacks)."""
+
+    @nn.compact
+    def __call__(self, h):
+        for i, ch in enumerate((128, 128, 128)):
+            h = nn.Conv(ch, (1, 1), name=f"conv{i}")(h)
+            h = nn.relu(h)
+        return nn.Conv(4, (1, 1), name="conv3")(h)
+
+
+class NNET(nn.Module):
+    """Full normal network; input (B, H, W, 3) ImageNet-normalized RGB;
+    output (B, H, W, 4) = (normal, kappa) at full input resolution
+    (out_res1, scannet_model.py:131-139)."""
+
+    @nn.compact
+    def __call__(self, x):
+        stages, head = EfficientNetFeatures(name="encoder")(x)
+        # taps: stage0=24ch(1/2), stage1=40ch(1/4), stage2=64ch(1/8),
+        # stage4=176ch(1/16), head=2048ch(1/32)
+        b0, b1, b2, b3, b4 = stages[0], stages[1], stages[2], stages[4], head
+
+        x_d0 = nn.Conv(2048, (1, 1), name="conv2")(b4)
+        x_d1 = UpSampleBN(1024, name="up1")(x_d0, b3)
+        x_d2 = UpSampleBN(512, name="up2")(x_d1, b2)
+        x_d3 = UpSampleBN(256, name="up3")(x_d2, b1)
+        x_d4 = UpSampleBN(128, name="up4")(x_d3, b0)
+
+        out8 = nn.Conv(4, (3, 3), padding=1, name="out_conv_res8")(x_d2)
+        out8 = norm_normalize(out8)
+
+        def up2x(t):
+            B, H, W, C = t.shape
+            return resize_bilinear_ac(t, (2 * H, 2 * W))
+
+        feat = jnp.concatenate([up2x(x_d2), up2x(out8)], axis=-1)
+        out4 = norm_normalize(RefineMLP(name="out_conv_res4")(feat))
+
+        feat = jnp.concatenate([up2x(x_d3), up2x(out4)], axis=-1)
+        out2 = norm_normalize(RefineMLP(name="out_conv_res2")(feat))
+
+        feat = jnp.concatenate([up2x(x_d4), up2x(out2)], axis=-1)
+        out1 = norm_normalize(RefineMLP(name="out_conv_res1")(feat))
+        return out1
+
+
+def preprocess(image_hwc01: jax.Array, network_dim: tuple[int, int]) -> jax.Array:
+    """ImageNet normalization + resize to the network input size
+    (frontend/normals/normals_inferer.py:10-33)."""
+    img = resize_bilinear_ac(image_hwc01[None], network_dim)[0]
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def predict_normals(params, image_hwc01: jax.Array, network_dim=(480, 640)):
+    """Run NNET, returning (normals (H, W, 3), kappa (H, W, 1)) resized back
+    to the input resolution."""
+    x = preprocess(image_hwc01, network_dim)[None]
+    out = NNET().apply(params, x)
+    out = resize_bilinear_ac(out, image_hwc01.shape[:2])[0]
+    return out[..., :3], out[..., 3:]

@@ -1,0 +1,190 @@
+"""SAM ViT image encoder in Flax (channels-last).
+
+Re-implementation of the Segment Anything image encoder (the reference
+depends on the ``segment-anything`` package, frontend/segment/sam_tools.py)
+from the published architecture: ViT with 16x16 patch embed, absolute
+position embedding, windowed attention (window 14) with periodic global
+blocks, decomposed relative position bias, and a 2-conv LayerNorm neck to
+256 channels.  ViT-H: embed 1280, depth 32, heads 16, global at 7/15/23/31.
+
+All shapes static; jits cleanly for the MXU (attention matmuls in fp32
+accumulate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
+    out_chans: int = 256
+
+
+VIT_H = ViTConfig()
+VIT_B = ViTConfig(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11))
+VIT_TINY_TEST = ViTConfig(
+    img_size=64, embed_dim=32, depth=2, num_heads=2, window_size=2,
+    global_attn_indexes=(1,), out_chans=16,
+)
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm over the last axis of (B, H, W, C) with eps 1e-6."""
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + 1e-6) * w + b
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Select relative position embeddings (SAM's decomposed scheme).
+
+    ``rel_pos`` is (2 * max_size - 1, head_dim); assumes q_size == k_size
+    (always true here), so no interpolation is needed at matched sizes.
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    assert rel_pos.shape[0] == max_rel_dist, (rel_pos.shape, max_rel_dist)
+    q_coords = jnp.arange(q_size)[:, None]
+    k_coords = jnp.arange(k_size)[None, :]
+    relative = (q_coords - k_coords) + (k_size - 1)
+    return rel_pos[relative]
+
+
+def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
+    """attn (B*nh, qh*qw, kh*kw) += decomposed rel-pos terms."""
+    q_h, q_w = q_hw
+    k_h, k_w = k_hw
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h)   # (q_h, k_h, C)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w)
+    B = q.shape[0]
+    r_q = q.reshape(B, q_h, q_w, -1)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    attn = attn.reshape(B, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(B, q_h * q_w, k_h * k_w)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: tuple[int, int] = (14, 14)
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, name="qkv")(x.reshape(B, H * W, C))
+        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        scale = head_dim**-0.5
+        attn = jnp.einsum(
+            "bqc,bkc->bqk", q * scale, k, precision=jax.lax.Precision.DEFAULT
+        )
+        if self.use_rel_pos:
+            rel_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
+            )
+            rel_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
+            )
+            attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (H, W), (H, W))
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        out = out.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3)
+        out = out.reshape(B, H, W, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+def window_partition(x, window):
+    B, H, W, C = x.shape
+    pad_h = (window - H % window) % window
+    pad_w = (window - W % window) % window
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window, window, Wp // window, window, C)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, C)
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(windows, window, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // (Hp * Wp // window // window)
+    x = windows.reshape(B, Hp // window, Wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+    window_size: int  # 0 = global
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.window_size > 0:
+            H, W = h.shape[1], h.shape[2]
+            h, pad_hw = window_partition(h, self.window_size)
+            size = (self.window_size, self.window_size)
+        else:
+            size = (h.shape[1], h.shape[2])
+        h = Attention(
+            self.cfg.num_heads, input_size=size, name="attn"
+        )(h)
+        if self.window_size > 0:
+            h = window_unpartition(h, self.window_size, pad_hw, (x.shape[1], x.shape[2]))
+        x = shortcut + h
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(int(self.cfg.embed_dim * self.cfg.mlp_ratio), name="mlp_lin1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.cfg.embed_dim, name="mlp_lin2")(h)
+        return x + h
+
+
+class ImageEncoderViT(nn.Module):
+    cfg: ViTConfig = VIT_H
+
+    @nn.compact
+    def __call__(self, x):
+        """(B, img_size, img_size, 3) -> (B, S, S, out_chans), S = img/patch."""
+        cfg = self.cfg
+        S = cfg.img_size // cfg.patch_size
+        x = nn.Conv(
+            cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+            strides=cfg.patch_size, padding="VALID", name="patch_embed",
+        )(x)
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros, (1, S, S, cfg.embed_dim)
+        )
+        x = x + pos
+        for i in range(cfg.depth):
+            ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = Block(cfg, ws, name=f"block{i}")(x)
+        # neck: conv1x1 -> LN -> conv3x3 -> LN
+        x = nn.Conv(cfg.out_chans, (1, 1), use_bias=False, name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(cfg.out_chans, (3, 3), padding=1, use_bias=False, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x

@@ -1,0 +1,130 @@
+"""SAM predictor: preprocessing + batched point-prompt mask prediction.
+
+Equivalent of ``SamPredictor`` as used by the reference
+(frontend/segment/sam_tools.py): resize longest side to ``target_length``,
+ImageNet-ish pixel normalization, pad to square, encode once; then for
+batched single-point prompts return multimask logits upscaled to the
+original image resolution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .image_encoder import ImageEncoderViT, ViTConfig, VIT_H
+from .mask_decoder import MaskDecoder
+from .prompt_encoder import PromptEncoder
+
+PIXEL_MEAN = jnp.asarray([123.675, 116.28, 103.53])
+PIXEL_STD = jnp.asarray([58.395, 57.12, 57.375])
+MASK_THRESHOLD = 0.0
+
+
+def get_preprocess_shape(h: int, w: int, target_length: int) -> tuple[int, int]:
+    """Longest-side resize shape (SamPredictor.transform semantics)."""
+    scale = target_length / max(h, w)
+    return int(h * scale + 0.5), int(w * scale + 0.5)
+
+
+class SamPredictor:
+    """Holds params + jitted encode/decode; stateful per-image like the
+    reference predictor."""
+
+    def __init__(self, params: dict, cfg: ViTConfig = VIT_H):
+        self.cfg = cfg
+        self.params = params
+        self.target_length = cfg.img_size
+        self.embed_size = cfg.img_size // cfg.patch_size
+        self.encoder = ImageEncoderViT(cfg)
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=cfg.out_chans,
+            image_embedding_size=(self.embed_size, self.embed_size),
+            input_image_size=(cfg.img_size, cfg.img_size),
+        )
+        self.decoder = MaskDecoder(transformer_dim=cfg.out_chans)
+        self._features = None
+        self._input_hw = None
+        self._orig_hw = None
+
+        @jax.jit
+        def _encode(params, img):
+            return self.encoder.apply({"params": params["image_encoder"]}, img)
+
+        @jax.jit
+        def _decode(params, features, points, labels):
+            sparse, dense = self.prompt_encoder.apply(
+                {"params": params["prompt_encoder"]}, points, labels
+            )
+            image_pe = self.prompt_encoder.apply(
+                {"params": params["prompt_encoder"]},
+                method=PromptEncoder.get_dense_pe,
+            )
+            masks, iou = self.decoder.apply(
+                {"params": params["mask_decoder"]}, features, image_pe, sparse, dense
+            )
+            return masks, iou
+
+        self._encode = _encode
+        self._decode = _decode
+
+    # -------------------------------------------------------------- image
+    def set_image(self, image_hwc_uint8: np.ndarray):
+        """Resize longest side, normalize, pad to square, encode."""
+        H, W = image_hwc_uint8.shape[:2]
+        self._orig_hw = (H, W)
+        h2, w2 = get_preprocess_shape(H, W, self.target_length)
+        self._input_hw = (h2, w2)
+        import cv2
+
+        resized = cv2.resize(
+            np.asarray(image_hwc_uint8), (w2, h2), interpolation=cv2.INTER_LINEAR
+        ).astype(np.float32)
+        x = (jnp.asarray(resized) - PIXEL_MEAN) / PIXEL_STD
+        x = jnp.pad(
+            x, ((0, self.target_length - h2), (0, self.target_length - w2), (0, 0))
+        )
+        self._features = self._encode(self.params, x[None])
+
+    # ------------------------------------------------------------- predict
+    def predict_batched_points(self, points_input_frame: np.ndarray):
+        """Single positive point per prompt, batched.
+
+        ``points_input_frame`` (B, 2) in (x, y) pixels of the RESIZED input
+        frame (the reference converts its normalized keypoints to this frame
+        itself, sam_tools.py:30-33).
+
+        Returns (masks (B, 3, H_orig, W_orig) float logits, iou (B, 3)).
+        """
+        assert self._features is not None, "call set_image first"
+        pts = jnp.asarray(points_input_frame, jnp.float32)[:, None, :]
+        # pad point (SAM appends one when no box): label -1
+        pts = jnp.concatenate([pts, jnp.zeros_like(pts)], axis=1)
+        labels = jnp.concatenate(
+            [jnp.ones((pts.shape[0], 1)), -jnp.ones((pts.shape[0], 1))], axis=1
+        )
+        masks, iou = self._decode(self.params, self._features, pts, labels)
+        # multimask: drop mask 0 (sam_tools uses multimask_output=True)
+        masks = masks[:, 1:]
+        iou = iou[:, 1:]
+        masks = self.postprocess_masks(masks)
+        return masks, iou
+
+    def postprocess_masks(self, lowres_masks: jax.Array) -> jax.Array:
+        """Upscale lowres logits to model res, crop padding, resize to the
+        original image (SamPredictor.postprocess semantics,
+        align_corners=False bilinear)."""
+        B, M = lowres_masks.shape[:2]
+        x = lowres_masks.reshape(B * M, *lowres_masks.shape[2:])[..., None]
+        x = jax.image.resize(
+            x, (B * M, self.target_length, self.target_length, 1), "bilinear"
+        )
+        h2, w2 = self._input_hw
+        x = x[:, :h2, :w2]
+        H, W = self._orig_hw
+        x = jax.image.resize(x, (B * M, H, W, 1), "bilinear")
+        return x[..., 0].reshape(B, M, H, W)
