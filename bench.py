@@ -89,9 +89,9 @@ def main():
 
     NUM_ITERS = 300
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # NOTE: no donate_argnums — buffer donation trips an INVALID_ARGUMENT in
+    # the axon TPU runtime (verified by bisection); donation saves ~1MB here.
+    @jax.jit
     def track(params, opt_state):
         res = run_adam(loss_fn, params, optimizer, opt_state, NUM_ITERS, fold=True)
         return res.params, res.opt_state, res.losses
