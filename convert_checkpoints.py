@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Convert the reference's public torch checkpoints to Flax .npz trees.
+
+python convert_checkpoints.py --sam sam_vit_h_4b8939.pth --out-sam sam.npz
+python convert_checkpoints.py --nnet scannet.pth --out-nnet nnet.npz
+
+(The checkpoints themselves come from the reference's download.sh; torch is
+only needed here, never at runtime.)
+"""
+
+import argparse
+
+import numpy as np
+
+
+def load_torch_state_dict(path):
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    if hasattr(ckpt, "state_dict"):
+        ckpt = ckpt.state_dict()
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sam", default=None)
+    ap.add_argument("--nnet", default=None)
+    ap.add_argument("--out-sam", default="sam_vit_h.npz")
+    ap.add_argument("--out-nnet", default="nnet_scannet.npz")
+    args = ap.parse_args()
+
+    from super_primitive_tpu.nets import convert
+
+    if args.sam:
+        sd = load_torch_state_dict(args.sam)
+        tree = convert.convert_sam(sd, depth=32)
+        np.savez_compressed(args.out_sam, tree=np.asarray(tree, dtype=object))
+        print(f"SAM -> {args.out_sam}")
+    if args.nnet:
+        sd = convert.strip_module_prefix(load_torch_state_dict(args.nnet))
+        tree = convert.convert_nnet(sd)
+        np.savez_compressed(args.out_nnet, tree=np.asarray(tree, dtype=object))
+        print(f"NNET -> {args.out_nnet}")
+
+
+if __name__ == "__main__":
+    main()

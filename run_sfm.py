@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Headless SfM / odometry runner (reference entry: sfm_gui_runner.py).
+
+Two-frame SfM:  python run_sfm.py --config config/replica_sfm_example.yaml
+Monocular VO:   python run_sfm.py --config config/tum/odom_desk.yaml --odom
+
+The Open3D GUI is replaced by artifact export (PLY point clouds, residual
+PNGs, trajectory plots/json) under the config's save_path.
+
+Frontend selection: with converted SAM/NNET checkpoints (--sam-ckpt /
+--nnet-ckpt, .npz trees from nets/convert.py) the full perception frontend
+runs; with --stub-frontend the GT-depth segment-grid stub is used, which
+needs dataset depth (SURVEY §7.2.4's precomputed-frontend mode).
+"""
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def seed_everything(seed=42):
+    # reference seeds (sfm_gui_runner.py:14-18)
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def build_frontend_from_args(args, config):
+    if args.stub_frontend:
+        from super_primitive_tpu.frontend.stub import GridSegmentFrontend
+
+        return GridSegmentFrontend(
+            rows=args.stub_rows, cols=args.stub_cols,
+            downsample_pow=config.frontend.downsample_pow,
+        )
+    from super_primitive_tpu.frontend.process_frame import build_frontend
+
+    sam_tree = np.load(args.sam_ckpt, allow_pickle=True)["tree"].item() if args.sam_ckpt else None
+    nnet_tree = np.load(args.nnet_ckpt, allow_pickle=True)["tree"].item() if args.nnet_ckpt else None
+    return build_frontend(config, sam_tree, nnet_tree)
+
+
+def run_two_frame(config, frontend, dataset):
+    import jax.numpy as jnp
+
+    from super_primitive_tpu.keyframe import (
+        KeyFrame, build_bundle_np, keyframe_pyramid, make_segment_geometry,
+    )
+    from super_primitive_tpu.lie import se3
+    from super_primitive_tpu.solve.two_frame import (
+        TwoFrameConfig, random_depth_seeds, solve_two_frame,
+    )
+    import jax
+
+    src = dataset[config.dataset.source_id]
+    trg = dataset[config.dataset.target_id]
+
+    observe = getattr(frontend, "observe", None)
+    if observe:
+        observe(src)
+    kf_data = frontend.process_to_kf(src["image"], src["intrinsics"])
+    supp = frontend.process_to_supp_kf(trg["image"], trg["intrinsics"])
+
+    geo = make_segment_geometry(
+        2.0 * kf_data["keypoints_rc"] / (np.asarray(kf_data["regions"].shape[1:]) - 1) - 1.0,
+        kf_data["regions"], kf_data["logdepth_perseg"],
+    )
+    bundle = build_bundle_np(kf_data["regions"], kf_data["logdepth_perseg"])
+    src_kf = KeyFrame(
+        image=jnp.asarray(kf_data["image"]), K=jnp.asarray(kf_data["K"]),
+        K_img=jnp.asarray(kf_data["K"]), geo=geo,
+    )
+    trg_kf = KeyFrame(
+        image=jnp.asarray(supp["image"]), K=jnp.asarray(supp["K"]),
+        K_img=jnp.asarray(supp["K"]),
+    )
+    lo, hi = config.alignment.pyramid_min, config.alignment.pyramid_max
+    src_pyr = keyframe_pyramid(src_kf, lo, hi, bundle=bundle)
+    trg_pyr = keyframe_pyramid(trg_kf, lo, hi)
+
+    # GT pose + exp-noise init (two_frame_sfm.py:73-84)
+    T_rel = np.linalg.inv(trg["T"]) @ src["T"]
+    key = jax.random.PRNGKey(42)
+    noise = se3.random(key, sigma=0.05)
+    T_init = jnp.asarray(T_rel, jnp.float32) @ noise
+
+    cfg = TwoFrameConfig()
+    ld0 = random_depth_seeds(jax.random.PRNGKey(43), geo.num_segments, cfg)
+    poses, ld, losses = solve_two_frame(src_pyr, [trg_pyr], T_init[None], ld0, cfg)
+
+    out_dir = config.save_path
+    os.makedirs(out_dir, exist_ok=True)
+    from super_primitive_tpu.cost import photometric as ph
+    from super_primitive_tpu.viz.export import keyframe_pointcloud, save_ply
+
+    logd = ph.spread_logdepth(bundle, ld, geo.keypoint_base_logdepth())
+    pts, _ = keyframe_pointcloud(
+        np.asarray(bundle.uv), np.exp(np.asarray(logd)), kf_data["K"],
+        np.eye(4), valid=np.asarray(bundle.valid),
+    )
+    save_ply(os.path.join(out_dir, "src_pointcloud.ply"), pts)
+    np.savez(
+        os.path.join(out_dir, "two_frame_result.npz"),
+        pose=np.asarray(poses[0]), kp_logdepth=np.asarray(ld),
+        losses=[np.asarray(l) for l in losses][-1],
+        T_rel_gt=T_rel,
+    )
+    final_loss = float(losses[-1][-1])
+    err = np.asarray(se3.log(se3.inverse(jnp.asarray(T_rel, jnp.float32)) @ poses[0]))
+    print(f"two-frame SfM done: final loss {final_loss:.5f}, "
+          f"pose err |log| {np.linalg.norm(err):.4f}")
+    print(f"artifacts in {out_dir}")
+
+
+def run_odometry(config, frontend, dataset, max_frames=None):
+    from super_primitive_tpu.eval.trajectory import ate_rmse
+    from super_primitive_tpu.odometry.odometry import Odometry
+    from super_primitive_tpu.viz.export import save_trajectory_plot
+
+    odom = Odometry(config, frontend, dataset)
+    traj = odom.run(max_frames=max_frames)
+
+    # TUM-format export for external evo if desired (convert_traj_to_tum.py)
+    from super_primitive_tpu.odometry.io import export_tum_trajectory
+
+    out = config.save_path
+    export_tum_trajectory(
+        traj, odom.frame_timestamps, os.path.join(out, "converted_tum_traj.txt")
+    )
+    gt_traj = {}
+    for ts in traj:
+        T = dataset[int(ts)].get("T")
+        if T is not None:
+            gt_traj[ts] = T
+    if len(gt_traj) >= 3:
+        export_tum_trajectory(
+            gt_traj, odom.frame_timestamps,
+            os.path.join(out, "converted_gt_tum_traj.txt"),
+        )
+        m = ate_rmse(gt_traj, traj, align_scale=True)
+        print(f"ATE RMSE (Sim3): {m['rmse']:.4f} m over {m['n']} KFs "
+              f"(scale {m['scale']:.3f})")
+        save_trajectory_plot(
+            os.path.join(out, "trajectory.png"),
+            {"estimate": traj, "gt": gt_traj},
+        )
+    print(f"artifacts in {out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--odom", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--sam-ckpt", default=None, help=".npz converted SAM tree")
+    ap.add_argument("--nnet-ckpt", default=None, help=".npz converted NNET tree")
+    ap.add_argument("--stub-frontend", action="store_true")
+    ap.add_argument("--stub-rows", type=int, default=6)
+    ap.add_argument("--stub-cols", type=int, default=8)
+    args = ap.parse_args()
+
+    seed_everything()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from super_primitive_tpu.config import load_config
+    from super_primitive_tpu.data import load_dataset
+
+    config = load_config(args.config)
+    dataset = load_dataset({"dataset": {
+        "type": config.dataset.type, "path": config.dataset.path,
+        "traj_file": config.dataset.traj_file,
+        "normals_path": config.dataset.normals_path,
+    }})
+    frontend = build_frontend_from_args(args, config)
+
+    if args.odom:
+        run_odometry(config, frontend, dataset, args.max_frames)
+    else:
+        run_two_frame(config, frontend, dataset)
+
+
+if __name__ == "__main__":
+    main()

@@ -352,15 +352,86 @@ class Odometry:
             print(f"new kf: large pose diff {float(diff):.3f}")
         return is_kf, float(scale)
 
+    # -------------------------------------------------- checkpoint / resume
+    def save_state(self, tag: Optional[str] = None):
+        """Periodic checkpoint (odometery.py:1164-1204): window KFs + both
+        trajectories under <save_path>/curr_kfs/<tag>/ and traj/."""
+        tag = tag or (self.current_ts or "init")
+        kf_dir = f"{self.config.save_path}/curr_kfs/{tag}"
+        for kf in self.host_kfs:
+            io.dump_kf(kf_dir, kf)
+        traj_dir = f"{self.config.save_path}/traj"
+        io.save_trajectory(traj_dir, self.global_kf_trajectory, tag)
+        io.save_trajectory(
+            traj_dir, self.global_track_trajectory, tag, name="track_traj"
+        )
+        with open(f"{kf_dir}/window.txt", "w") as f:
+            f.write("\n".join(kf.timestamp for kf in self.host_kfs))
+        return kf_dir
+
+    def load_state(self, state_path: str, frame_id: int):
+        """Resume a run (odometery.py:1090-1162): reload window keyframes and
+        trajectories, continue from ``frame_id`` + 1."""
+        tag = self.id_to_timestamp(frame_id)
+        kf_dir = f"{state_path}/curr_kfs/{tag}"
+        with open(f"{kf_dir}/window.txt") as f:
+            timestamps = [line.strip() for line in f if line.strip()]
+        traj_dir = f"{state_path}/traj"
+        self.global_kf_trajectory = io.load_trajectory(
+            f"{traj_dir}/kf_traj_{tag}.json"
+        )
+        self.global_track_trajectory = io.load_trajectory(
+            f"{traj_dir}/track_traj_{tag}.json"
+        )
+        for ts in timestamps:
+            kf = io.load_kf(kf_dir, ts)
+            if self.seg_cap is None:
+                N_i = kf.regions.shape[0]
+                Hg, Wg = kf.regions.shape[1:]
+                self.seg_cap = max(64, int(np.ceil(N_i * 1.5 / 32) * 32))
+                self.point_cap = int(
+                    np.ceil(max(int(kf.regions.sum()) * 2, Hg * Wg) / 1024) * 1024
+                )
+                self.buffers = window.empty_window(
+                    self.window_size, self.supp_cap, kf.image.shape[:2],
+                    kf.image.shape[2], self.seg_cap, self.point_cap,
+                )
+            bundle = build_bundle_np(
+                kf.regions, kf.logdepth_perseg, capacity=self.point_cap
+            )
+            n = kf.regions.shape[0]
+            kp_base = kf.logdepth_perseg[
+                np.arange(n), kf.keypoints_rc[:, 0], kf.keypoints_rc[:, 1]
+            ]
+            self.buffers = window.set_keyframe_slot(
+                self.buffers, self.num_kfs, kf.image, kf.K, kf.pose,
+                kf.kp_logdepth, kf.affine, np.asarray(bundle.uv),
+                np.asarray(bundle.seg_id), np.asarray(bundle.base_logdepth),
+                np.asarray(bundle.valid), int(bundle.num_valid), kp_base,
+            )
+            self.host_kfs.append(kf)
+            self.num_kfs += 1
+        self.current_track = self.host_kfs[-1].pose.copy()
+        self.current_aff = self.host_kfs[-1].affine.copy()
+        self.current_ts = self.host_kfs[-1].timestamp
+        self.initialised = len(self.host_kfs) >= 2
+        return frame_id
+
     # ------------------------------------------------------------ main loop
     def run(self, max_frames: Optional[int] = None):
         start_id = self.config.dataset.start_id
-        frame0 = self.dataset[start_id]
-        ts0 = self.id_to_timestamp(start_id)
-        self.frame_timestamps[ts0] = float(frame0.get("timestamp", start_id))
-        pose0 = np.asarray(frame0["T"], np.float32)
-        self.current_track = pose0
-        self.init_keyframe(frame0, pose0, ts0)
+        if self.config.restore is not None:
+            resume_id = self.load_state(
+                self.config.restore.path, self.config.restore.frame_id
+            )
+            start_id = resume_id
+        else:
+            frame0 = self.dataset[start_id]
+            ts0 = self.id_to_timestamp(start_id)
+            self.frame_timestamps[ts0] = float(frame0.get("timestamp", start_id))
+            pose0 = np.asarray(frame0["T"], np.float32)
+            self.current_track = pose0
+            self.init_keyframe(frame0, pose0, ts0)
 
         end = len(self.dataset) if max_frames is None else min(
             len(self.dataset), start_id + max_frames
@@ -392,9 +463,18 @@ class Odometry:
                 else:
                     self.mapping_scheduled = True
 
+            if (
+                frame_id > 0
+                and self.config.save_every > 0
+                and frame_id % self.config.save_every == 0
+            ):
+                self.save_state()
+
         traj_dir = self.config.save_path + "/traj"
         io.save_trajectory(traj_dir, self.global_kf_trajectory, "final")
         io.save_trajectory(
             traj_dir, self.global_track_trajectory, "final", name="track_traj"
         )
+        if self.config.save_every > 0:
+            self.save_state()
         return self.global_kf_trajectory
