@@ -175,6 +175,7 @@ def main():
         "type": config.dataset.type, "path": config.dataset.path,
         "traj_file": config.dataset.traj_file,
         "normals_path": config.dataset.normals_path,
+        "intrinsics": config.dataset.intrinsics,
     }})
     frontend = build_frontend_from_args(args, config)
 

@@ -29,6 +29,9 @@ class DatasetConfig:
     source_id: int = 0            # two-frame SfM source (replica_sfm_example)
     target_id: int = 0
     start_id: int = 0
+    intrinsics: Optional[tuple] = None  # (fx, fy, cx, cy) override —
+                                        # extension: the reference hardcodes
+                                        # per-dataset intrinsics
 
 
 @dataclass

@@ -14,7 +14,10 @@ def load_dataset(config: dict):
     if kind == "replica":
         return ReplicaDataset(ds["path"], ds.get("normals_path"))
     if kind == "tum":
-        return TUMDataset(ds["path"], traj_file=ds.get("traj_file"))
+        return TUMDataset(
+            ds["path"], traj_file=ds.get("traj_file"),
+            intrinsics=ds.get("intrinsics"),
+        )
     if kind == "tum_undistort":
         return TUMUndistortDataset(ds["path"], traj_file=ds.get("traj_file"))
     if kind == "void":

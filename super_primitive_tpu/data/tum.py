@@ -47,10 +47,18 @@ def _pose_at_timestamp(t_poses: np.ndarray, timestamp: float) -> np.ndarray:
 class TUMDataset:
     """Plain TUM loader: associations.txt pairing, depth/5000, far clip 10m."""
 
-    def __init__(self, root_dir: str, traj_file: Optional[str] = None):
+    def __init__(
+        self, root_dir: str, traj_file: Optional[str] = None, intrinsics=None
+    ):
         self.root_dir = root_dir
         self.t_poses = _load_groundtruth(traj_file) if traj_file else None
-        self.intrinsics = K_DEFAULT.copy()
+        if intrinsics is not None:
+            fx, fy, cx, cy = intrinsics
+            self.intrinsics = np.array(
+                [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64
+            )
+        else:
+            self.intrinsics = K_DEFAULT.copy()
 
         with open(os.path.join(root_dir, "associations.txt")) as f:
             rows = [line.rstrip().split() for line in f]
