@@ -119,14 +119,46 @@ def main():
 
     dt = min(times)
     iters_per_sec = NUM_ITERS / dt
-    baseline = 300.0  # documented estimate, see module docstring
+    import sys
+
+    print(
+        f"[secondary] adam_track_iters_per_sec={iters_per_sec:.1f} "
+        f"({1000 * dt:.1f} ms / {NUM_ITERS}-iter keyframe)",
+        file=sys.stderr,
+    )
+
+    # --- primary: GN/LM per-keyframe tracking latency (the performance
+    # path; accuracy-equivalent to Adam-300 per tests/test_gauss_newton) ---
+    from super_primitive_tpu.solve.gauss_newton import gn_track
+
+    R0 = T0[0]
+
+    def run_gn():
+        return gn_track(
+            bundle, src, trg_img, Kj, kp_logdepth, kp_base, R0,
+            jnp.zeros(2), jnp.zeros(2), geo_dims,
+            max_iters=20, use_affine=True,
+        )
+
+    jax.block_until_ready(run_gn())  # compile
+    gn_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_gn())
+        gn_times.append(time.perf_counter() - t0)
+    gn_ms = 1000 * min(gn_times)
+
+    # reference baseline: per-frame 'tracking time' print around the 300-iter
+    # Adam loop on an RTX 4090 — estimated 1000 ms (BASELINE.md: re-derive by
+    # profiling the reference; repo publishes no numbers)
+    baseline_ms = 1000.0
     print(
         json.dumps(
             {
-                "metric": "track_iters_per_sec",
-                "value": round(iters_per_sec, 1),
-                "unit": "iter/s",
-                "vs_baseline": round(iters_per_sec / baseline, 2),
+                "metric": "track_keyframe_ms",
+                "value": round(gn_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / gn_ms, 1),
             }
         )
     )

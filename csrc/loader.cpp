@@ -1,0 +1,249 @@
+// Native threaded dataset loader for super_primitive_tpu.
+//
+// The reference's data path is synchronous Python/OpenCV reads on the
+// critical loop (data/tum.py:94-95 inside Odometery.run). This library
+// provides the TPU-native runtime equivalent: a C++ thread-pool prefetcher
+// that decodes PNG (8-bit gray/RGB/RGBA and 16-bit gray depth, libpng) and
+// JPEG (libjpeg) ahead of the consumer, exposed through a plain C ABI for
+// ctypes (no pybind11 dependency).
+//
+// Build: g++ -O2 -shared -fPIC loader.cpp -lpng -ljpeg -lz -lpthread
+//
+// Semantics:
+//   handle = sp_loader_open(paths, n, num_threads, lookahead)
+//   sp_loader_get(handle, idx, out, cap, &h, &w, &c, &bpc)
+//     - blocks until image idx is decoded; copies into out (row-major,
+//       channels interleaved, native endian for 16-bit); returns 0 on
+//       success, required byte count if cap too small, -1 on decode error.
+//     - getting idx schedules prefetch of [idx+1, idx+lookahead].
+//   sp_loader_close(handle)
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <set>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct Image {
+  int height = 0, width = 0, channels = 0, bytes_per_channel = 1;
+  std::vector<uint8_t> data;
+  bool ok = false;
+};
+
+bool has_suffix(const std::string& s, const char* suf) {
+  size_t n = strlen(suf);
+  if (s.size() < n) return false;
+  for (size_t i = 0; i < n; i++) {
+    char a = s[s.size() - n + i];
+    char b = suf[i];
+    if (tolower(a) != tolower(b)) return false;
+  }
+  return true;
+}
+
+Image decode_png(const std::string& path) {
+  Image img;
+  FILE* fp = fopen(path.c_str(), "rb");
+  if (!fp) return img;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return img;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (bit_depth == 16) png_set_swap(png);  // little-endian native
+  png_read_update_info(png, info);
+
+  int channels = png_get_channels(png, info);
+  int bpc = png_get_bit_depth(png, info) / 8;
+  size_t rowbytes = png_get_rowbytes(png, info);
+
+  img.height = (int)h;
+  img.width = (int)w;
+  img.channels = channels;
+  img.bytes_per_channel = bpc;
+  img.data.resize(rowbytes * h);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 i = 0; i < h; i++) rows[i] = img.data.data() + i * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+  img.ok = true;
+  return img;
+}
+
+Image decode_jpeg(const std::string& path) {
+  Image img;
+  FILE* fp = fopen(path.c_str(), "rb");
+  if (!fp) return img;
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return img;
+  }
+  jpeg_start_decompress(&cinfo);
+  img.height = cinfo.output_height;
+  img.width = cinfo.output_width;
+  img.channels = cinfo.output_components;
+  img.bytes_per_channel = 1;
+  size_t row = (size_t)img.width * img.channels;
+  img.data.resize(row * img.height);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* ptr = img.data.data() + cinfo.output_scanline * row;
+    jpeg_read_scanlines(&cinfo, &ptr, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(fp);
+  img.ok = true;
+  return img;
+}
+
+Image decode_any(const std::string& path) {
+  if (has_suffix(path, ".png")) return decode_png(path);
+  if (has_suffix(path, ".jpg") || has_suffix(path, ".jpeg"))
+    return decode_jpeg(path);
+  // try png then jpeg
+  Image img = decode_png(path);
+  if (!img.ok) img = decode_jpeg(path);
+  return img;
+}
+
+class Loader {
+ public:
+  Loader(std::vector<std::string> paths, int num_threads, int lookahead)
+      : paths_(std::move(paths)), lookahead_(std::max(1, lookahead)) {
+    num_threads = std::max(1, num_threads);
+    for (int i = 0; i < num_threads; i++)
+      workers_.emplace_back([this] { work(); });
+    schedule_range(0, lookahead_);
+  }
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_work_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  // blocks until idx decoded; moves result out of the cache
+  Image get(int idx) {
+    schedule_range(idx, idx + lookahead_);
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_done_.wait(lk, [&] { return done_.count(idx) > 0; });
+    Image img = std::move(done_[idx]);
+    done_.erase(idx);
+    // allow future re-requests of this index to reschedule the decode
+    scheduled_.erase(idx);
+    return img;
+  }
+
+ private:
+  void schedule_range(int lo, int hi) {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (int i = lo; i <= hi && i < (int)paths_.size(); i++) {
+      if (i < 0) continue;
+      if (done_.count(i) || scheduled_.count(i)) continue;
+      scheduled_.insert(i);
+      queue_.push_back(i);
+    }
+    cv_work_.notify_all();
+  }
+
+  void work() {
+    for (;;) {
+      int idx;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_work_.wait(lk, [&] { return stop_ || !queue_.empty(); });
+        if (stop_) return;
+        idx = queue_.front();
+        queue_.pop_front();
+      }
+      Image img = decode_any(paths_[idx]);
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        done_[idx] = std::move(img);
+        // bound the cache: drop far-behind entries (and un-mark them as
+        // scheduled so a later re-request re-decodes instead of deadlocking)
+        while (done_.size() > (size_t)(4 * lookahead_ + 8)) {
+          scheduled_.erase(done_.begin()->first);
+          done_.erase(done_.begin());
+        }
+      }
+      cv_done_.notify_all();
+    }
+  }
+
+  std::vector<std::string> paths_;
+  int lookahead_;
+  std::vector<std::thread> workers_;
+  std::mutex mu_;
+  std::condition_variable cv_work_, cv_done_;
+  std::deque<int> queue_;
+  std::map<int, Image> done_;
+  std::set<int> scheduled_;
+  bool stop_ = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* sp_loader_open(const char** paths, int n, int num_threads,
+                     int lookahead) {
+  std::vector<std::string> v(paths, paths + n);
+  return new Loader(std::move(v), num_threads, lookahead);
+}
+
+long sp_loader_get(void* handle, int idx, unsigned char* out, long capacity,
+                   int* height, int* width, int* channels,
+                   int* bytes_per_channel) {
+  Loader* loader = (Loader*)handle;
+  Image img = loader->get(idx);
+  if (!img.ok) return -1;
+  long need = (long)img.data.size();
+  *height = img.height;
+  *width = img.width;
+  *channels = img.channels;
+  *bytes_per_channel = img.bytes_per_channel;
+  if (need > capacity) return need;
+  memcpy(out, img.data.data(), need);
+  return 0;
+}
+
+void sp_loader_close(void* handle) { delete (Loader*)handle; }
+
+}  // extern "C"

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native C++ prefetching image loader.
+
+Builds ``csrc/libsp_loader.so`` on first use (g++ + libpng/libjpeg, baked in
+the image) and exposes a prefetching iterator.  Falls back to synchronous
+cv2 decoding when the toolchain or libraries are unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libsp_loader.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_lib() -> Optional[str]:
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC], check=True, capture_output=True, text=True
+        )
+        return _LIB_PATH
+    except Exception as e:  # toolchain missing or link failure
+        print(f"[native_loader] build failed, falling back to cv2: {e}")
+        return None
+
+
+def get_lib():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and _build_lib() is None:
+            _lib = False
+            return _lib
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.sp_loader_open.restype = ctypes.c_void_p
+        lib.sp_loader_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.sp_loader_get.restype = ctypes.c_long
+        lib.sp_loader_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sp_loader_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeImageLoader:
+    """Prefetching image loader over a fixed path list.
+
+    ``loader[i]`` returns an (H, W) or (H, W, C) numpy array (uint8, or
+    uint16 for 16-bit PNG depth).  Decoding of upcoming indices happens on
+    C++ threads while the caller computes.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        num_threads: int = 4,
+        lookahead: int = 8,
+        capacity_bytes: Optional[int] = None,
+    ):
+        self.paths = [str(p) for p in paths]
+        lib = get_lib()
+        self._native = bool(lib)
+        if self._native:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths]
+            )
+            self._handle = lib.sp_loader_open(
+                arr, len(self.paths), num_threads, lookahead
+            )
+            self._lib = lib
+            self._cap = capacity_bytes or (4096 * 4096 * 4)
+            self._buf = (ctypes.c_ubyte * self._cap)()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if not self._native:
+            import cv2
+
+            img = cv2.imread(self.paths[idx], -1)
+            if img is None:
+                raise IOError(f"failed to read {self.paths[idx]}")
+            if img.ndim == 3:
+                img = img[..., ::-1].copy()  # BGR -> RGB
+            return img
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        bpc = ctypes.c_int()
+        rc = self._lib.sp_loader_get(
+            self._handle, idx, self._buf, self._cap,
+            ctypes.byref(h), ctypes.byref(w), ctypes.byref(c), ctypes.byref(bpc),
+        )
+        if rc == -1:
+            raise IOError(f"native decode failed for {self.paths[idx]}")
+        if rc > 0:
+            raise IOError(f"buffer too small: need {rc}")
+        n = h.value * w.value * c.value * bpc.value
+        raw = np.frombuffer(self._buf, dtype=np.uint8, count=n).copy()
+        dtype = np.uint16 if bpc.value == 2 else np.uint8
+        img = raw.view(dtype).reshape(h.value, w.value, c.value)
+        if c.value == 1:
+            img = img[..., 0]
+        return img
+
+    def close(self):
+        if self._native and self._handle:
+            self._lib.sp_loader_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -48,7 +48,11 @@ class TUMDataset:
     """Plain TUM loader: associations.txt pairing, depth/5000, far clip 10m."""
 
     def __init__(
-        self, root_dir: str, traj_file: Optional[str] = None, intrinsics=None
+        self,
+        root_dir: str,
+        traj_file: Optional[str] = None,
+        intrinsics=None,
+        native: bool = True,
     ):
         self.root_dir = root_dir
         self.t_poses = _load_groundtruth(traj_file) if traj_file else None
@@ -66,10 +70,33 @@ class TUMDataset:
         self.rgb_files = [r[1] for r in rows]
         self.depth_files = [r[3] for r in rows]
 
+        self._rgb_loader = None
+        self._depth_loader = None
+        if native:
+            try:
+                from .native_loader import NativeImageLoader, get_lib
+
+                if get_lib():
+                    self._rgb_loader = NativeImageLoader(
+                        [os.path.join(root_dir, f) for f in self.rgb_files]
+                    )
+                    self._depth_loader = NativeImageLoader(
+                        [os.path.join(root_dir, f) for f in self.depth_files]
+                    )
+            except Exception as e:
+                print(f"[tum] native loader unavailable: {e}")
+
     def __len__(self):
         return len(self.rgb_files)
 
     def _read_pair(self, idx):
+        """Returns (image BGR uint8, depth raw) — the native path prefetches
+        and decodes on C++ threads; note the native loader returns RGB, so we
+        flip to keep this function's BGR contract for the cv2 path parity."""
+        if self._rgb_loader is not None:
+            image = self._rgb_loader[idx][..., ::-1]  # RGB -> BGR
+            depth = self._depth_loader[idx]
+            return image, depth
         depth = cv2.imread(os.path.join(self.root_dir, self.depth_files[idx]), -1)
         image = cv2.imread(os.path.join(self.root_dir, self.rgb_files[idx]))
         return image, depth

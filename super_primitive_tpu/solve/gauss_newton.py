@@ -1,0 +1,220 @@
+"""Gauss-Newton / Levenberg-Marquardt solvers — the performance path.
+
+The reference optimizes everything with first-order Adam (SURVEY §0: no
+GN/LM anywhere); the TPU rebuild adds second-order solvers as the flagged
+performance path (SURVEY §7.1), validated against the Adam results.
+
+Tracking (this module): 8 parameters (6 pose tangent + 2 affine) against the
+dense photometric residual.  Jacobians come from 8 forward-mode JVPs
+(``jax.jacfwd``), JtJ/Jtr are tiny (8x8) reductions that XLA fuses into the
+warp; the LM loop is a ``lax.while_loop`` with multiplicative damping.
+
+Robustness: the reference's objective is an L1 mean; we match it with IRLS
+weights w = 1/max(|r|, delta) (exact L1 stationary points), or optionally
+Huber.  A pure-L2 mode exists for analysis.
+
+Typical behavior: converges in 10-20 iterations where retraction-Adam needs
+300 — the basis of the >=10x per-keyframe throughput target.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cost import photometric as ph
+from ..geometry import projection
+from ..keyframe import PointBundle
+from ..lie import se3
+from ..ops.sampling import bilinear_sample
+
+
+class GNResult(NamedTuple):
+    R: jax.Array            # (4, 4) refined relative pose
+    affine: jax.Array       # (2,)
+    num_iters: jax.Array
+    final_cost: jax.Array
+    initial_cost: jax.Array
+
+
+def _residuals(
+    params: jax.Array,
+    R: jax.Array,
+    bundle: PointBundle,
+    src: ph.SourceSamples,
+    trg_image: jax.Array,
+    K: jax.Array,
+    geo_dims: tuple[int, int],
+    kp_logdepth: jax.Array,
+    kp_base: jax.Array,
+    kf_affine: jax.Array,
+    use_affine: bool,
+):
+    """Per-point residual vector (P, C) and validity (P,) at tangent
+    ``params`` = (xi[6], affine[2]) around relative pose R."""
+    xi = params[:6]
+    pose = jnp.matmul(se3.exp(xi), R, precision=jax.lax.Precision.HIGHEST)
+    logd = ph.spread_logdepth(bundle, kp_logdepth, kp_base)
+    pts = projection.unproject(bundle.uv, jnp.exp(logd), K)
+    pts_t = projection.transform(pts, pose)
+    uv_t = projection.project(pts_t, K)
+    coords = ph.normalized_image_coords(uv_t, geo_dims)
+    trg_pixels, trg_valid = bilinear_sample(trg_image, coords)
+    trg_valid = trg_valid & (jax.lax.stop_gradient(pts_t[..., 2]) > ph.Z_VALID_SINGLE)
+    if use_affine:
+        trg_pixels = ph.affine_compensate(trg_pixels, kf_affine, params[6:8])
+    valid = (src.valid & trg_valid).astype(trg_pixels.dtype)
+    r = (src.pixels - trg_pixels) * valid[..., None]
+    return r, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo_dims", "max_iters", "use_affine", "robust"),
+)
+def gn_track(
+    bundle: PointBundle,
+    src: ph.SourceSamples,
+    trg_image: jax.Array,
+    K: jax.Array,
+    kp_logdepth: jax.Array,
+    kp_base: jax.Array,
+    R0: jax.Array,
+    affine0: jax.Array,
+    kf_affine: jax.Array,
+    geo_dims: tuple[int, int],
+    max_iters: int = 20,
+    use_affine: bool = False,
+    robust: str = "l1",           # 'l1' (IRLS), 'huber', 'none'
+    huber_delta: float = 0.1,
+    tol: float = 1e-6,
+) -> GNResult:
+    """LM refinement of the tracking relative pose (+affine)."""
+    n_par = 8
+    eps = 1e-6
+
+    def weights(r):
+        a = jnp.abs(r)
+        if robust == "l1":
+            return 1.0 / jnp.maximum(a, 1e-3)
+        if robust == "huber":
+            return jnp.minimum(1.0, huber_delta / jnp.maximum(a, 1e-12))
+        return jnp.ones_like(r)
+
+    def cost_of(r, valid, num_valid):
+        # match the reference objective: L1 mean over channels x region pts
+        C = r.shape[-1]
+        return jnp.sum(jnp.abs(r)) / (C * jnp.maximum(num_valid, 1))
+
+    def linearize(R, affine):
+        p0 = jnp.concatenate([jnp.zeros(6), affine])
+
+        def res_flat(p):
+            r, valid = _residuals(
+                p, R, bundle, src, trg_image, K, geo_dims,
+                kp_logdepth, kp_base, kf_affine, use_affine,
+            )
+            return r, valid
+
+        r0, valid = res_flat(p0)
+        J = jax.jacfwd(lambda p: res_flat(p)[0])(p0)     # (P, C, 8)
+        w = weights(r0) * valid[..., None]
+        Jw = J * w[..., None]
+        JtJ = jnp.einsum("pci,pcj->ij", Jw, J, precision=jax.lax.Precision.HIGHEST)
+        Jtr = jnp.einsum("pci,pc->i", Jw, r0, precision=jax.lax.Precision.HIGHEST)
+        return r0, valid, JtJ, Jtr
+
+    num_valid = bundle.num_valid
+
+    def body(state):
+        R, affine, lam, it, prev_cost, done = state
+        r0, valid, JtJ, Jtr = linearize(R, affine)
+        cost0 = cost_of(r0, valid, num_valid)
+
+        damped = JtJ + lam * jnp.diag(jnp.diag(JtJ)) + eps * jnp.eye(n_par)
+        # residual convention: r = src - trg(p); minimizing sum w r^2 gives
+        # step = +(JtJ)^-1 Jt W r with J = dr/dp  ->  p_new = p - step... sign:
+        # d/dp sum w (r(p))^2 = 2 Jt W r; descent step = -(H)^-1 Jt W r
+        step = -jnp.linalg.solve(damped, Jtr)
+
+        R_new = se3.renormalize(
+            jnp.matmul(se3.exp(step[:6]), R, precision=jax.lax.Precision.HIGHEST)
+        )
+        affine_new = affine + step[6:8] * (1.0 if use_affine else 0.0)
+
+        r1, valid1 = _residuals(
+            jnp.concatenate([jnp.zeros(6), affine_new]), R_new,
+            bundle, src, trg_image, K, geo_dims,
+            kp_logdepth, kp_base, kf_affine, use_affine,
+        )
+        cost1 = cost_of(r1, valid1, num_valid)
+
+        improved = cost1 < cost0
+        R = jnp.where(improved, R_new, R)
+        affine = jnp.where(improved, affine_new, affine)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-7), lam * 4.0)
+        rel = jnp.abs(cost0 - cost1) / jnp.maximum(cost0, 1e-30)
+        done = jnp.logical_or(
+            jnp.logical_and(improved, rel < tol), lam > 1e4
+        )
+        new_cost = jnp.where(improved, cost1, cost0)
+        return R, affine, lam, it + 1, new_cost, done
+
+    def cond(state):
+        _, _, _, it, _, done = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    r_init, valid_init = _residuals(
+        jnp.concatenate([jnp.zeros(6), affine0]), R0, bundle, src, trg_image,
+        K, geo_dims, kp_logdepth, kp_base, kf_affine, use_affine,
+    )
+    cost_init = cost_of(r_init, valid_init, num_valid)
+
+    R, affine, _, iters, final_cost, _ = jax.lax.while_loop(
+        cond, body,
+        (R0, affine0, jnp.asarray(1e-3), jnp.asarray(0), cost_init, jnp.asarray(False)),
+    )
+    return GNResult(
+        R=R, affine=affine, num_iters=iters,
+        final_cost=final_cost, initial_cost=cost_init,
+    )
+
+
+def gn_track_frame(
+    bundle: PointBundle,
+    kf_image_pyr: list,
+    trg_image_pyr: list,
+    K: jax.Array,
+    kp_logdepth: jax.Array,
+    kp_base: jax.Array,
+    T_kf: jax.Array,
+    T_init: jax.Array,
+    kf_affine: jax.Array,
+    affine_init: jax.Array,
+    geo_dims: tuple[int, int],
+    levels: Optional[list[int]] = None,
+    max_iters: int = 20,
+    use_affine: bool = False,
+):
+    """Coarse-to-fine GN tracking (drop-in for tracker.track_frame)."""
+    R = jnp.matmul(se3.inverse(T_init), T_kf, precision=jax.lax.Precision.HIGHEST)
+    affine = affine_init
+    n_levels = len(kf_image_pyr)
+    levels = levels if levels is not None else list(range(n_levels))
+    infos = []
+    for lv in levels:
+        src = ph.precompute_source(kf_image_pyr[lv], bundle, geo_dims)
+        result = gn_track(
+            bundle, src, trg_image_pyr[lv], K, kp_logdepth, kp_base,
+            R, affine, kf_affine, geo_dims,
+            max_iters=max_iters, use_affine=use_affine,
+        )
+        R, affine = result.R, result.affine
+        infos.append(result)
+    T_frame = se3.renormalize(
+        jnp.matmul(T_kf, se3.inverse(R), precision=jax.lax.Precision.HIGHEST)
+    )
+    return T_frame, affine, infos
