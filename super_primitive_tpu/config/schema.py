@@ -100,6 +100,9 @@ class TrackConfig:
     pyramid_min: int = 0
     pyramid_max: int = 3
     steps: tuple = (0, 0, 300)
+    solver: str = "adam"       # 'adam' (reference parity) | 'gn' (LM
+                               # performance path, solve/gauss_newton.py)
+    gn_max_iters: int = 20
 
 
 @dataclass

@@ -207,15 +207,32 @@ class Odometry:
         b = self.buffers
 
         T_init = self.current_track
-        T_frame, affine, losses = tracker.track_frame(
-            self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
-            b.kp_logdepth[i], b.kp_base[i],
-            jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
-            b.affine[i], jnp.asarray(self.current_aff),
-            self._geo_dims(), tuple(self.config.alignment.track.steps),
-            self.config.alignment.track.lr, 5e-3,
-            use_affine=self.affine_compensation,
-        )
+        track_cfg = self.config.alignment.track
+        if track_cfg.solver == "gn":
+            from ..solve.gauss_newton import gn_track_frame
+
+            # run GN at the levels the step schedule marks active
+            levels = [lv for lv, n in enumerate(track_cfg.steps) if n > 0]
+            T_frame, affine, _ = gn_track_frame(
+                self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
+                b.kp_logdepth[i], b.kp_base[i],
+                jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
+                b.affine[i], jnp.asarray(self.current_aff),
+                self._geo_dims(), levels=levels,
+                max_iters=track_cfg.gn_max_iters,
+                use_affine=self.affine_compensation,
+            )
+            losses = []
+        else:
+            T_frame, affine, losses = tracker.track_frame(
+                self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
+                b.kp_logdepth[i], b.kp_base[i],
+                jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
+                b.affine[i], jnp.asarray(self.current_aff),
+                self._geo_dims(), tuple(track_cfg.steps),
+                track_cfg.lr, 5e-3,
+                use_affine=self.affine_compensation,
+            )
         T_frame_np = np.asarray(T_frame)
         self.current_track = T_frame_np
         self.current_aff = np.asarray(affine)

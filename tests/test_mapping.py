@@ -1,0 +1,171 @@
+"""Mapping solver tests: Adam mapper and GN/Schur mapper on a synthetic
+3-keyframe window with known geometry."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_primitive_tpu.frontend.stub import GridSegmentFrontend
+from super_primitive_tpu.keyframe import build_bundle_np
+from super_primitive_tpu.lie import se3
+from super_primitive_tpu.odometry import mapper, window
+from super_primitive_tpu.solve.gn_mapping import adjoint, gn_mapping
+
+from test_odometry import PlaneSequence, pose_err
+
+
+@pytest.fixture(scope="module")
+def window_setup():
+    """3 keyframes from the plane sequence with GT geometry; poses and
+    logdepths perturbed (except the gauge-frozen first KF)."""
+    ds = PlaneSequence(n_frames=9, H=48, W=64)
+    fe = GridSegmentFrontend(rows=3, cols=4)
+    kf_ids = [0, 3, 6]
+    W_cap, S = 3, 2
+    r = np.random.default_rng(0)
+
+    buf = None
+    gt_poses = []
+    for slot, fid in enumerate(kf_ids):
+        frame = ds[fid]
+        fe.observe(frame)
+        kf = fe.process_to_kf(frame["image"], frame["intrinsics"])
+        N_i = kf["regions"].shape[0]
+        if buf is None:
+            buf = window.empty_window(W_cap, S, kf["image"].shape[:2], 3, 16, 4096)
+        bundle = build_bundle_np(kf["regions"], kf["logdepth_perseg"], capacity=4096)
+        kp_base = kf["logdepth_perseg"][
+            np.arange(N_i), kf["keypoints_rc"][:, 0], kf["keypoints_rc"][:, 1]
+        ]
+        pose = np.asarray(frame["T"], np.float32)
+        gt_poses.append(pose)
+        kp_ld = kp_base.copy()
+        if slot > 0:  # perturb all but the gauge KF
+            pose = np.asarray(
+                se3.retract(jnp.asarray(pose),
+                            jnp.asarray(0.01 * r.normal(size=6).astype(np.float32)))
+            )
+            kp_ld = kp_base + r.normal(0, 0.02, N_i).astype(np.float32)
+        buf = window.set_keyframe_slot(
+            buf, slot, kf["image"], kf["K"], pose, kp_ld, np.zeros(2, np.float32),
+            np.asarray(bundle.uv), np.asarray(bundle.seg_id),
+            np.asarray(bundle.base_logdepth), np.asarray(bundle.valid),
+            int(bundle.num_valid), kp_base,
+        )
+        # one supporting frame per KF: the next dataset frame at GT pose
+        supp = ds[fid + 1]
+        supp_img = np.asarray(supp["image"], np.float32) / 255.0
+        buf = window.set_supporting_slot(
+            buf, slot, 0, supp_img, np.asarray(supp["T"], np.float32),
+            np.zeros(2, np.float32),
+        )
+    geo_dims = (48, 64)
+    return buf, gt_poses, geo_dims
+
+
+def run_adam(buf, geo_dims, iters, num_kfs=3):
+    supp_valid = np.asarray(buf.supp_valid)
+    slots = mapper.build_slots(num_kfs, buf.capacity, supp_valid, "map")
+    masks = mapper.build_masks(
+        num_kfs, buf.capacity, supp_valid, "map", buf.capacity, False, False
+    )
+    return mapper.run_mapping(
+        buf,
+        jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+        jnp.asarray(slots.src_valid),
+        jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+        jnp.asarray(masks.affine_mask),
+        jnp.asarray(1e-4), jnp.asarray(1e-2), jnp.asarray(1e-5),
+        jnp.asarray(iters), jnp.asarray(False), jnp.asarray(False),
+        geo_dims,
+    ), slots, masks
+
+
+class TestAdamMapping:
+    def test_cost_decreases_and_poses_improve(self, window_setup):
+        buf, gt_poses, geo_dims = window_setup
+        res, slots, masks = run_adam(buf, geo_dims, 150)
+        losses = np.asarray(res.losses)
+        n = int(res.num_iters)
+        assert losses[n - 1] < losses[0] * 0.9
+        # perturbed poses move toward GT
+        for i in (1, 2):
+            e0 = pose_err(jnp.asarray(np.asarray(buf.poses[i])), jnp.asarray(gt_poses[i]))
+            e1 = pose_err(res.params.poses[i], jnp.asarray(gt_poses[i]))
+            assert e1 < e0, (i, e0, e1)
+        # gauge KF untouched
+        np.testing.assert_allclose(
+            np.asarray(res.params.poses[0]), np.asarray(buf.poses[0]), atol=1e-6
+        )
+
+    def test_supp_mode_only_last_logdepth(self, window_setup):
+        buf, _, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "supp")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "supp", buf.capacity, True, False
+        )
+        res = mapper.run_mapping(
+            buf,
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+            jnp.asarray(1e-4), jnp.asarray(1e-2), jnp.asarray(1e-5),
+            jnp.asarray(20), jnp.asarray(False), jnp.asarray(False), geo_dims,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.params.poses), np.asarray(
+                jnp.concatenate([buf.poses, buf.supp_poses.reshape(-1, 4, 4)])
+            ), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.params.kp_logdepth[:2]),
+            np.asarray(buf.kp_logdepth[:2]), atol=1e-7,
+        )
+        assert not np.allclose(
+            np.asarray(res.params.kp_logdepth[2]), np.asarray(buf.kp_logdepth[2])
+        )
+
+
+class TestAdjoint:
+    def test_adjoint_property(self):
+        # exp(Ad(T) xi) = T exp(xi) T^-1
+        T = se3.exp(jnp.asarray([0.3, -0.2, 0.1, 0.5, -0.4, 0.2]))
+        xi = jnp.asarray([0.05, 0.02, -0.03, 0.1, -0.05, 0.07])
+        lhs = se3.exp(adjoint(T) @ xi)
+        rhs = T @ se3.exp(xi) @ se3.inverse(T)
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+
+
+class TestGNMapping:
+    def test_beats_adam_in_few_iters(self, window_setup):
+        buf, gt_poses, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        res = gn_mapping(
+            buf,
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+            geo_dims, max_iters=25,
+        )
+        assert float(res.final_cost) < float(res.initial_cost) * 0.7
+        assert int(res.num_iters) <= 25
+        for i in (1, 2):
+            e0 = pose_err(jnp.asarray(np.asarray(buf.poses[i])), jnp.asarray(gt_poses[i]))
+            e1 = pose_err(res.poses[i], jnp.asarray(gt_poses[i]))
+            assert e1 < e0, (i, e0, e1)
+        # gauge fixed
+        np.testing.assert_allclose(
+            np.asarray(res.poses[0]), np.asarray(buf.poses[0]), atol=1e-6
+        )
+        # matches/beats Adam-150's cost
+        adam_res, _, _ = run_adam(buf, geo_dims, 150)
+        adam_losses = np.asarray(adam_res.losses)
+        adam_final = adam_losses[int(adam_res.num_iters) - 1]
+        assert float(res.final_cost) <= adam_final * 1.2
