@@ -92,6 +92,9 @@ class MappingConfig:
     init_steps: int = 1000
     steps: int = 500
     continual_steps: int = 10
+    solver: str = "adam"       # 'adam' (reference parity) | 'gn' (LM +
+                               # Schur performance path, solve/gn_mapping.py)
+    gn_max_iters: int = 30
 
 
 @dataclass

@@ -295,18 +295,40 @@ class Odometry:
             self.num_kfs, self.window_size, supp_valid, mode,
             self.window_size, self.opt_supporting, self.affine_compensation,
         )
-        lr_pose = 1e-2 if (mode == "init" and self.mono_init) else 1e-4
-        result = mapper.run_mapping(
-            self.buffers,
-            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
-            jnp.asarray(slots.src_valid),
-            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
-            jnp.asarray(masks.affine_mask),
-            jnp.asarray(lr_pose), jnp.asarray(1e-2), jnp.asarray(1e-5),
-            jnp.asarray(num_iters), jnp.asarray(self.initialised),
-            jnp.asarray(self.affine_compensation),
-            tuple(self._geo_dims()),
-        )
+        map_cfg = self.config.alignment.mapping
+        if map_cfg.solver == "gn":
+            from ..solve.gn_mapping import gn_mapping
+
+            gn_res = gn_mapping(
+                self.buffers,
+                jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+                jnp.asarray(slots.src_valid),
+                jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+                jnp.asarray(masks.affine_mask),
+                tuple(self._geo_dims()),
+                max_iters=map_cfg.gn_max_iters,
+                use_affine=self.affine_compensation,
+            )
+            result = mapper.MapResult(
+                params=mapper.MapParams(
+                    poses=gn_res.poses, xi=jnp.zeros((gn_res.poses.shape[0], 6)),
+                    kp_logdepth=gn_res.kp_logdepth, affine=gn_res.affine,
+                ),
+                losses=jnp.zeros(1), num_iters=gn_res.num_iters,
+            )
+        else:
+            lr_pose = 1e-2 if (mode == "init" and self.mono_init) else 1e-4
+            result = mapper.run_mapping(
+                self.buffers,
+                jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+                jnp.asarray(slots.src_valid),
+                jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+                jnp.asarray(masks.affine_mask),
+                jnp.asarray(lr_pose), jnp.asarray(1e-2), jnp.asarray(1e-5),
+                jnp.asarray(num_iters), jnp.asarray(self.initialised),
+                jnp.asarray(self.affine_compensation),
+                tuple(self._geo_dims()),
+            )
         self.buffers = mapper.write_back(self.buffers, result.params)
 
         # host bookkeeping: poses + trajectories (odometery.py:948-967)
