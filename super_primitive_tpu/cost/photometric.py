@@ -111,13 +111,16 @@ def photometric_cost(
     kp_base_logdepth: jax.Array,
     pose: jax.Array,
     affine: Optional[tuple[jax.Array, jax.Array]] = None,
+    mode: str = "colour",
     return_aux: bool = False,
 ):
     """Single-target photometric cost (core/dense_optim.py:265-363).
 
     ``pose`` is T_target_from_source (4, 4).  Returns a scalar residual
     (mean over channels x region points), optionally with aux arrays for
-    visualization/diagnostics.
+    visualization/diagnostics.  ``mode`` selects the channel split when
+    normal channels are appended (cost/normal_modes.py); the cosine residual
+    term is zero as in the reference (dense_optim.py:241-261).
     """
     logd = spread_logdepth(bundle, kp_logdepth, kp_base_logdepth)
     z = jnp.exp(logd)
@@ -132,8 +135,19 @@ def photometric_cost(
     if affine is not None:
         trg_pixels = affine_compensate(trg_pixels, affine[0], affine[1])
 
+    src_pixels = src.pixels
+    if mode != "colour":
+        from .normal_modes import split_by_mode, transform_normals
+
+        src_pixels = transform_normals(src_pixels, pose, mode)
+        src_pixels = split_by_mode(src_pixels, mode)[0]
+        trg_pixels_aff = split_by_mode(trg_pixels, mode)[0]
+        if src_pixels is None:  # norm_kappa: affine term is 0 (reference
+            return jnp.zeros(())  # dense_optim.py:241-261 leaves it zero)
+        trg_pixels = trg_pixels_aff
+
     full_mask = (src.valid & trg_valid).astype(trg_pixels.dtype)
-    residual = masked_l1_mean(src.pixels, trg_pixels, full_mask, bundle.num_valid)
+    residual = masked_l1_mean(src_pixels, trg_pixels, full_mask, bundle.num_valid)
     if not return_aux:
         return residual
     aux = {

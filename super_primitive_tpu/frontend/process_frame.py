@@ -124,6 +124,11 @@ class FrontProcessor:
         image_kf = cv2.resize(
             img01, (W_kf, H_kf), interpolation=cv2.INTER_LINEAR
         ).astype(np.float32)
+        if fc.include_normals:
+            # append NN-resized normal channels (process_frame.py:191-205;
+            # the reference computes but never appends kappa — same here)
+            n_kf = _nn_resize(normals, (H_kf, W_kf)).astype(np.float32)
+            image_kf = np.concatenate([image_kf, n_kf], axis=-1)
 
         depth_kf = np.stack(
             [_nn_resize(d, (H_kf, W_kf)) for d in depth_perseg]
@@ -165,8 +170,13 @@ class FrontProcessor:
         H, W = image.shape[:2]
         H_kf, W_kf = H // s, W // s
         img = cv2.resize(image, (W_kf, H_kf), interpolation=cv2.INTER_LINEAR)
+        img = img.astype(np.float32)
+        if self.config.frontend.include_normals:
+            normals, _ = self.normals_fn(image)
+            n_kf = _nn_resize(np.asarray(normals), (H_kf, W_kf)).astype(np.float32)
+            img = np.concatenate([img, n_kf], axis=-1)
         return {
-            "image": img.astype(np.float32),
+            "image": img,
             "K": scale_K(K, H_kf / H, W_kf / W).astype(np.float32),
         }
 

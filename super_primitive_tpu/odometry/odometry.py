@@ -138,13 +138,19 @@ class Odometry:
             if self.mono_init:
                 kp_logdepth = np.zeros(N_i, np.float32)  # log(1.0)
             else:
+                # GT init: direct lookup at keypoints; per-segment median
+                # fallback when any lookup is invalid (odometery.py:141-158)
                 gt = np.asarray(frame["depth"], np.float32)
                 if gt.shape != (Hg, Wg):
                     sy, sx = gt.shape[0] // Hg, gt.shape[1] // Wg
                     gt = gt[::sy, ::sx][:Hg, :Wg]
-                kp_logdepth = depth_init.segment_based_depth_reinit(
-                    gt, regions, logdepth, keypoints_rc, mode="median"
-                )
+                direct = gt[keypoints_rc[:, 0], keypoints_rc[:, 1]]
+                if np.any(direct < 1e-6):
+                    kp_logdepth = depth_init.segment_based_depth_reinit(
+                        gt, regions, logdepth, keypoints_rc, mode="median"
+                    )
+                else:
+                    kp_logdepth = np.log(direct).astype(np.float32)
         else:
             est = self.estimate_depth_latest_kf(pose)
             kp_logdepth = depth_init.segment_based_depth_reinit(
