@@ -12,7 +12,9 @@ def load_dataset(config: dict):
     ds = config["dataset"]
     kind = ds["type"]
     if kind == "replica":
-        return ReplicaDataset(ds["path"], ds.get("normals_path"))
+        return ReplicaDataset(
+            ds["path"], ds.get("normals_path"), intrinsics=ds.get("intrinsics")
+        )
     if kind == "tum":
         return TUMDataset(
             ds["path"], traj_file=ds.get("traj_file"),

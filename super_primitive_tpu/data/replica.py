@@ -20,9 +20,16 @@ def replica_K() -> np.ndarray:
 
 
 class ReplicaDataset:
-    def __init__(self, root_dir: str, normal_dir: Optional[str] = None):
+    def __init__(
+        self, root_dir: str, normal_dir: Optional[str] = None, intrinsics=None
+    ):
         self.root_dir = root_dir
         self.normal_dir = normal_dir
+        if intrinsics is not None:
+            fx, fy, cx, cy = intrinsics
+            self._K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        else:
+            self._K = replica_K()
         traj_file = os.path.join(root_dir, "traj_w_c.txt")
         self.Twc = np.loadtxt(traj_file, delimiter=" ").reshape([-1, 4, 4])
 
@@ -40,6 +47,6 @@ class ReplicaDataset:
             "image": image,
             "depth": scale_and_filter_depth(depth, DEPTH_SCALE, MAX_DEPTH),
             "T": self.Twc[idx],
-            "intrinsics": replica_K(),
+            "intrinsics": self._K,
             "timestamp": float(idx),
         }

@@ -173,14 +173,15 @@ def gn_mapping(
         return jnp.sum(per_src.sum(axis=1) / cnt * src_valid)
 
     def assemble(poses, kp_logdepth, affine):
+        """Per-source scan with the T_max target slots vmapped — 5 wide steps
+        instead of 30 narrow ones keeps the VPU fed."""
         H = jnp.zeros((M, M))
         g_t = jnp.zeros(M)
         D = jnp.zeros(W * N)
         Bm = jnp.zeros((W * N, M))
         g_l = jnp.zeros(W * N)
 
-        def per_group(carry, gi):
-            H, g_t, D, Bm, g_l = carry
+        def one_slot(gi, poses, kp_logdepth, affine):
             s = g_src[gi]
             t = g_trg[gi]
             rel0 = jnp.matmul(
@@ -211,21 +212,29 @@ def gn_mapping(
             Lw = L * w[..., None]
             H_loc = jnp.einsum("pci,pcj->ij", Lw, L, precision=jax.lax.Precision.HIGHEST)
             g_loc = jnp.einsum("pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST)
-
-            d_pt = jnp.sum(w * j_l * j_l, axis=-1)         # (P,)
-            b_pt = jnp.einsum("pci,pc->pi", Lw, j_l)       # (P, 16)
+            d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
+            b_pt = jnp.einsum("pci,pc->pi", Lw, j_l)        # (P, 16)
             gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
+            return H_loc, g_loc, d_pt, b_pt, gl_pt, ix
 
+        def per_src(carry, s):
+            H, g_t, D, Bm, g_l = carry
+            gis = s * T_max + jnp.arange(T_max)
+            H_loc, g_loc, d_pt, b_pt, gl_pt, ix = jax.vmap(
+                one_slot, in_axes=(0, None, None, None)
+            )(gis, poses, kp_logdepth, affine)
+            # slot-level landmark terms share the source's segment rows
             seg_rows = s * N + buffers.seg_id[s]            # (P,)
-            D = D.at[seg_rows].add(d_pt)
-            Bm = Bm.at[seg_rows[:, None], ix[None, :]].add(b_pt)
-            g_l = g_l.at[seg_rows].add(gl_pt)
-            H = H.at[ix[:, None], ix[None, :]].add(H_loc)
-            g_t = g_t.at[ix].add(g_loc)
+            D = D.at[seg_rows].add(jnp.sum(d_pt, axis=0))
+            g_l = g_l.at[seg_rows].add(jnp.sum(gl_pt, axis=0))
+            for j in range(T_max):
+                Bm = Bm.at[seg_rows[:, None], ix[j][None, :]].add(b_pt[j])
+                H = H.at[ix[j][:, None], ix[j][None, :]].add(H_loc[j])
+                g_t = g_t.at[ix[j]].add(g_loc[j])
             return (H, g_t, D, Bm, g_l), None
 
         (H, g_t, D, Bm, g_l), _ = jax.lax.scan(
-            per_group, (H, g_t, D, Bm, g_l), jnp.arange(G)
+            per_src, (H, g_t, D, Bm, g_l), jnp.arange(W)
         )
         return H, g_t, D, Bm, g_l
 
