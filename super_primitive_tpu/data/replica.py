@@ -43,10 +43,28 @@ class ReplicaDataset:
         depth_path = os.path.join(self.root_dir, f"depth/depth_{idx}.png")
         image = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
         depth = cv2.imread(depth_path, -1).astype(np.float32)
+
+        normals, normals_mask = None, None
+        if self.normal_dir is not None:
+            normals, normals_mask = load_gt_normals(
+                os.path.join(self.normal_dir, f"depth_{idx}_tblr_k3.png")
+            )
         return {
             "image": image,
             "depth": scale_and_filter_depth(depth, DEPTH_SCALE, MAX_DEPTH),
             "T": self.Twc[idx],
+            "normals": normals,
+            "normals_mask": normals_mask,
             "intrinsics": self._K,
             "timestamp": float(idx),
         }
+
+
+def load_gt_normals(normal_path: str):
+    """GT normal maps rendered for Replica (reference
+    frontend/normals/normals_inferer.py:83-91): RGB png -> [-1, 1] normals,
+    mask where any channel nonzero."""
+    normal = cv2.cvtColor(cv2.imread(normal_path, cv2.IMREAD_ANYCOLOR), cv2.COLOR_BGR2RGB)
+    mask = np.sum(normal, axis=2, keepdims=True) > 0
+    normal = (normal.astype(np.float32) / 255.0) * 2.0 - 1.0
+    return normal, mask

@@ -176,6 +176,9 @@ def _masked_dot(a, b, mask):
 def _pcg(apply_A, b, x0, mask, diag, max_iter, tol):
     """Batched Jacobi-PCG on (N, H, W) fields.
 
+    ``apply_A(p) -> (Ap, pAp)`` — the fused form lets the Pallas stencil
+    kernel emit the dot product in the same VMEM pass.
+
     Per-segment early freeze; global stop when every segment converged,
     stagnated, or ``max_iter`` elapsed.  Robustness: fp32 CG run past its
     achievable precision slowly *diverges*, so we (a) floor the relative
@@ -189,7 +192,7 @@ def _pcg(apply_A, b, x0, mask, diag, max_iter, tol):
         return r * inv_diag * maskf
 
     x = x0 * maskf
-    r = (b - apply_A(x)) * maskf
+    r = (b - apply_A(x)[0]) * maskf
     z = precond(r)
     p = z
     rz = _masked_dot(r, z, maskf)
@@ -215,8 +218,7 @@ def _pcg(apply_A, b, x0, mask, diag, max_iter, tol):
         best = jnp.minimum(best, r_norm)
 
         active = seg_active(r_norm, best).astype(b.dtype)[:, None, None]
-        Ap = apply_A(p) * maskf
-        pAp = _masked_dot(p, Ap, maskf)
+        Ap, pAp = apply_A(p)
         alpha = jnp.where(pAp > 1e-30, rz / jnp.where(pAp > 1e-30, pAp, 1.0), 0.0)
         alpha = alpha[:, None, None] * active
         x = x + alpha * p
@@ -261,9 +263,14 @@ def integrate_normals(
     w_u = jnp.full_like(maskf, 0.5)
     w_v = jnp.full_like(maskf, 0.5)
 
+    from ..ops.pallas_stencil import bini_apply
+
     for _ in range(config.outer_iters):
         q, b, diag = _system(D, c_u, c_v, em, w_u, w_v)
-        apply_A = lambda x: _apply_A(x, D, q) * maskf  # noqa: E731
+        q_up, q_um, q_vp, q_vm = (
+            jnp.broadcast_to(q[k], maskf.shape) for k in ("up", "um", "vp", "vm")
+        )
+        apply_A = lambda x: bini_apply(x, q_up, q_um, q_vp, q_vm)  # noqa: E731
         zt, _ = _pcg(
             apply_A, b * maskf, zt, masks, diag, config.cg_max_iter, config.cg_tol
         )

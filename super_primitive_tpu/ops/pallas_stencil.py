@@ -1,0 +1,92 @@
+"""Pallas TPU kernel: fused BiNI normal-equation apply.
+
+The BiNI PCG inner loop (integrate/bini.py) applies
+A p = sum_d G_d^T (q_d * G_d p) — 4 one-sided difference stencils, each a
+shift + multiply + adjoint shift — plus the <p, Ap> dot product.  As separate
+XLA ops each field makes multiple HBM round trips per iteration; this kernel
+performs the whole apply in ONE VMEM pass per segment and emits the
+per-segment <p, Ap> partial alongside.
+
+Grid: one program per segment; a (H, W) f32 slab (~300 KB at 240x320) plus
+the four edge-weight fields fit comfortably in VMEM.  Shifts use jnp.roll —
+wrap-around contamination is impossible because the q fields zero all border
+edges (integrate/bini._edge_masks invalidates the wrapped sides).
+
+``bini_apply`` falls back to pure-jnp (identical math) off-TPU or under
+``interpret=True`` for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_math(p, q_up, q_um, q_vp, q_vm):
+    """The fused apply body (shared between kernel and fallback).
+
+    forward-u diff:  d(p)[r, c] = p[r, c+1] - p[r, c]
+    its adjoint:     a(y)[r, c] = y[r, c-1] - y[r, c]
+    (and symmetric for the other three directions)
+    """
+    def sh(x, dr, dc):
+        return jnp.roll(x, (dr, dc), axis=(-2, -1))
+
+    y_up = q_up * (sh(p, 0, -1) - p)
+    y_um = q_um * (p - sh(p, 0, 1))
+    y_vp = q_vp * (sh(p, -1, 0) - p)
+    y_vm = q_vm * (p - sh(p, 1, 0))
+
+    out = (
+        (sh(y_up, 0, 1) - y_up)
+        + (y_um - sh(y_um, 0, -1))
+        + (sh(y_vp, 1, 0) - y_vp)
+        + (y_vm - sh(y_vm, -1, 0))
+    )
+    return out
+
+
+def _kernel(p_ref, q_up_ref, q_um_ref, q_vp_ref, q_vm_ref, ap_ref, dot_ref):
+    p = p_ref[...]
+    ap = _apply_math(p, q_up_ref[...], q_um_ref[...], q_vp_ref[...], q_vm_ref[...])
+    ap_ref[...] = ap
+    dot_ref[0, 0] = jnp.sum(p * ap)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bini_apply_pallas(p, q_up, q_um, q_vp, q_vm, interpret: bool = False):
+    """Fused A-apply over (N, H, W) fields -> (Ap (N, H, W), pAp (N,))."""
+    N, H, W = p.shape
+    block = pl.BlockSpec((1, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+    ap, dots = pl.pallas_call(
+        _kernel,
+        grid=(N,),
+        in_specs=[block] * 5,
+        out_specs=[
+            block,
+            pl.BlockSpec((1, 1), lambda n: (n, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W), p.dtype),
+            jax.ShapeDtypeStruct((N, 1), p.dtype),
+        ],
+        interpret=interpret,
+    )(p, q_up, q_um, q_vp, q_vm)
+    return ap, dots[:, 0]
+
+
+def bini_apply_reference(p, q_up, q_um, q_vp, q_vm):
+    """Pure-jnp fallback with identical math (used off-TPU)."""
+    ap = _apply_math(p, q_up, q_um, q_vp, q_vm)
+    return ap, jnp.sum(p * ap, axis=(-2, -1))
+
+
+def bini_apply(p, q_up, q_um, q_vp, q_vm):
+    """Dispatch: Pallas on TPU, plain jnp elsewhere."""
+    if jax.default_backend() == "tpu":
+        return bini_apply_pallas(p, q_up, q_um, q_vp, q_vm)
+    return bini_apply_reference(p, q_up, q_um, q_vp, q_vm)

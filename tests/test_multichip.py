@@ -1,0 +1,78 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the mapping
+step executes with bundle points sharded over 'sp' and targets over 'dp',
+producing the same numbers as the unsharded run (XLA inserts the
+collectives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from super_primitive_tpu.keyframe import build_bundle_np
+from super_primitive_tpu.lie import se3
+from super_primitive_tpu.odometry import mapper, window
+from super_primitive_tpu.parallel.mesh import make_mesh, replicated
+
+from test_mapping import window_setup  # fixture reuse  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def shard_buffers(buf, mesh):
+    """Points axis (per-KF, axis 1 of (W, P, ...)) over sp; images replicated."""
+    point_sharded = NamedSharding(mesh, P(None, "sp"))
+    rep = replicated(mesh)
+
+    def place(name, x):
+        if name in ("uv", "seg_id", "base_logdepth", "point_valid"):
+            return jax.device_put(x, point_sharded)
+        return jax.device_put(x, rep)
+
+    return type(buf)(**{
+        f: place(f, getattr(buf, f)) for f in buf.__dataclass_fields__
+    })
+
+
+class TestShardedMapping:
+    def test_matches_unsharded(self, window_setup, mesh):
+        buf, gt_poses, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        args = (
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+            jnp.asarray(1e-4), jnp.asarray(1e-2), jnp.asarray(1e-5),
+            jnp.asarray(25), jnp.asarray(False), jnp.asarray(False),
+        )
+        res_plain = mapper.run_mapping(buf, *args, geo_dims)
+
+        buf_sharded = shard_buffers(buf, mesh)
+        with mesh:
+            res_sharded = mapper.run_mapping(buf_sharded, *args, geo_dims)
+
+        np.testing.assert_allclose(
+            np.asarray(res_plain.params.poses),
+            np.asarray(res_sharded.params.poses), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_plain.params.kp_logdepth),
+            np.asarray(res_sharded.params.kp_logdepth), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_plain.losses), np.asarray(res_sharded.losses),
+            atol=1e-4,
+        )
+
+    def test_mesh_shape(self, mesh):
+        assert dict(mesh.shape) == {"dp": 2, "sp": 4}
