@@ -103,18 +103,23 @@ def main():
         )
         return p, optimizer.init(p)
 
-    # warmup/compile
+    # warmup/compile.  NOTE: under the axon TPU relay, block_until_ready
+    # does not reliably block for all graphs (verified empirically); fetching
+    # a scalar to host forces completion, so all timings materialize one.
+    def sync(x):
+        return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
     p, s = fresh()
     out = track(p, s)
-    jax.block_until_ready(out)
+    sync(out)
 
     times = []
     for _ in range(3):
         p, s = fresh()
-        jax.block_until_ready((p, s))
+        sync((p, s))
         t0 = time.perf_counter()
         out = track(p, s)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
 
     dt = min(times)
@@ -140,11 +145,11 @@ def main():
             max_iters=20, use_affine=True,
         )
 
-    jax.block_until_ready(run_gn())  # compile
+    sync(run_gn())  # compile
     gn_times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_gn())
+        sync(run_gn())
         gn_times.append(time.perf_counter() - t0)
     gn_ms = 1000 * min(gn_times)
 

@@ -34,7 +34,13 @@ def _apply_math(p, q_up, q_um, q_vp, q_vm):
     (and symmetric for the other three directions)
     """
     def sh(x, dr, dc):
-        return jnp.roll(x, (dr, dc), axis=(-2, -1))
+        # single-axis rolls only: a 0-shift component lowers to an empty
+        # slice that Mosaic rejects
+        if dr:
+            x = jnp.roll(x, dr, axis=-2)
+        if dc:
+            x = jnp.roll(x, dc, axis=-1)
+        return x
 
     y_up = q_up * (sh(p, 0, -1) - p)
     y_um = q_um * (p - sh(p, 0, 1))
@@ -51,10 +57,14 @@ def _apply_math(p, q_up, q_um, q_vp, q_vm):
 
 
 def _kernel(p_ref, q_up_ref, q_um_ref, q_vp_ref, q_vm_ref, ap_ref, dot_ref):
-    p = p_ref[...]
-    ap = _apply_math(p, q_up_ref[...], q_um_ref[...], q_vp_ref[...], q_vm_ref[...])
-    ap_ref[...] = ap
-    dot_ref[0, 0] = jnp.sum(p * ap)
+    # blocks are (1, H, W); operate on 2D slabs (Mosaic cannot roll across a
+    # leading singleton dim)
+    p = p_ref[0]
+    ap = _apply_math(p, q_up_ref[0], q_um_ref[0], q_vp_ref[0], q_vm_ref[0])
+    ap_ref[0] = ap
+    # dot_ref maps the WHOLE (N,) vector into SMEM; each program writes its
+    # own slot (a (1,)-blocked SMEM output would violate TPU tiling rules)
+    dot_ref[pl.program_id(0)] = jnp.sum(p * ap)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -68,15 +78,15 @@ def bini_apply_pallas(p, q_up, q_um, q_vp, q_vm, interpret: bool = False):
         in_specs=[block] * 5,
         out_specs=[
             block,
-            pl.BlockSpec((1, 1), lambda n: (n, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, H, W), p.dtype),
-            jax.ShapeDtypeStruct((N, 1), p.dtype),
+            jax.ShapeDtypeStruct((N,), p.dtype),
         ],
         interpret=interpret,
     )(p, q_up, q_um, q_vp, q_vm)
-    return ap, dots[:, 0]
+    return ap, dots
 
 
 def bini_apply_reference(p, q_up, q_um, q_vp, q_vm):

@@ -1,0 +1,77 @@
+"""Integration: the REAL SamPredictor (tiny ViT config, random weights)
+driving the mask-generation pipeline and the full frontend — validates the
+net plumbing (resize/pad/encode/prompt/decode/postprocess) end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_primitive_tpu.config import load_config
+from super_primitive_tpu.frontend.mask_generation import infer_masks
+from super_primitive_tpu.nets.sam.image_encoder import VIT_TINY_TEST, ImageEncoderViT
+from super_primitive_tpu.nets.sam.mask_decoder import MaskDecoder
+from super_primitive_tpu.nets.sam.predictor import SamPredictor
+from super_primitive_tpu.nets.sam.prompt_encoder import PromptEncoder
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    cfg = VIT_TINY_TEST
+    key = jax.random.PRNGKey(0)
+    S = cfg.img_size // cfg.patch_size
+    enc = ImageEncoderViT(cfg)
+    pe = PromptEncoder(
+        embed_dim=cfg.out_chans, image_embedding_size=(S, S),
+        input_image_size=(cfg.img_size, cfg.img_size),
+    )
+    dec = MaskDecoder(transformer_dim=cfg.out_chans)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "image_encoder": enc.init(k1, jnp.zeros((1, cfg.img_size, cfg.img_size, 3)))["params"],
+        "prompt_encoder": pe.init(k2, jnp.zeros((1, 2, 2)), jnp.zeros((1, 2)))["params"],
+        "mask_decoder": dec.init(
+            k3, jnp.zeros((1, S, S, cfg.out_chans)), jnp.zeros((1, S, S, cfg.out_chans)),
+            jnp.zeros((2, 2, cfg.out_chans)), jnp.zeros((2, S, S, cfg.out_chans)),
+        )["params"],
+    }
+    return SamPredictor(params, cfg)
+
+
+class TestSamPredictorPipeline:
+    def test_set_image_and_predict(self, tiny_predictor):
+        r = np.random.default_rng(0)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)  # non-square
+        tiny_predictor.set_image(image)
+        assert tiny_predictor._input_hw == (51, 64)  # longest side -> 64
+        pts = np.asarray([[10.0, 20.0], [40.0, 30.0], [5.0, 45.0]])
+        masks, iou = tiny_predictor.predict_batched_points(pts)
+        assert masks.shape == (3, 3, 48, 60)   # 3 prompts x 3 multimask @ orig res
+        assert iou.shape == (3, 3)
+        assert np.all(np.isfinite(np.asarray(masks)))
+
+    def test_through_mask_generation(self, tiny_predictor):
+        r = np.random.default_rng(1)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+
+        def predict_fn(img, kps_norm):
+            tiny_predictor.set_image(img)
+            h2, w2 = tiny_predictor._input_hw
+            dims = np.asarray([h2, w2], np.float32)
+            rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
+            masks, iou = tiny_predictor.predict_batched_points(
+                np.round(rc[:, ::-1])
+            )
+            return np.asarray(masks), np.asarray(iou)
+
+        cfg = load_config({"sam_params": {
+            "stability_threshold": 0.0,   # random weights: keep everything
+            "filter_edge_points": False,
+        }})
+        out = infer_masks(
+            predict_fn, image, cfg.sam_params, num_pts=6, num_pts_active=3,
+            rng=np.random.default_rng(2),
+        )
+        assert out["masks"].dtype == bool
+        assert out["keypoints"].shape[0] == out["masks"].shape[0]
+        assert out["edges"].shape == image.shape[:2]
