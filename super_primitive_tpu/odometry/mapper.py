@@ -277,6 +277,86 @@ def run_mapping(
     return MapResult(params=p, losses=losses, num_iters=iters)
 
 
+@functools.partial(jax.jit, static_argnames=("geo_dims",))
+def run_supp_refinement(
+    buffers: WindowBuffers,
+    src_slot: jax.Array,       # () int32 — the newest KF slot
+    trg_index: jax.Array,      # (T_max,) unified pose-table indices
+    trg_valid: jax.Array,      # (T_max,)
+    lr_logdepth: jax.Array,
+    num_iters: jax.Array,
+    use_affine: jax.Array,
+    geo_dims: tuple[int, int],
+) -> tuple[jax.Array, jax.Array]:
+    """Specialized 'supp' mapping: refine ONLY the newest KF's log-depths
+    against its targets (odometery.py:605-629 — no pose/affine params).
+
+    The general run_mapping computes all W sources and masks the rest; this
+    path does the single source's work (~W times cheaper), which matters
+    because supp refinement runs EVERY frame (continual_steps).
+
+    Returns (kp_logdepth (N,), losses (num_iters<=64,)).
+    """
+    W = buffers.capacity
+    S = buffers.supp_capacity
+    pool = jnp.concatenate(
+        [buffers.images,
+         buffers.supp_images.reshape((W * S,) + buffers.images.shape[1:])],
+        axis=0,
+    )
+    poses_all = jnp.concatenate(
+        [buffers.poses, buffers.supp_poses.reshape(W * S, 4, 4)], axis=0
+    )
+    affine_all = jnp.concatenate(
+        [buffers.affine, buffers.supp_affine.reshape(W * S, 2)], axis=0
+    )
+    s = src_slot
+    bundle = PointBundle(
+        uv=buffers.uv[s], seg_id=buffers.seg_id[s],
+        base_logdepth=buffers.base_logdepth[s],
+        valid=buffers.point_valid[s], num_valid=buffers.num_valid[s],
+    )
+    src = ph.precompute_source(buffers.images[s], bundle, geo_dims)
+    trg_images = pool[trg_index]
+    rel = jnp.matmul(
+        se3.inverse(poses_all[trg_index]), buffers.poses[s],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    opt = optax.scale_by_adam()
+
+    def loss_fn(ld):
+        res = ph.photometric_cost_batch(
+            bundle, src, trg_images, buffers.K[s], geo_dims,
+            ld, buffers.kp_base[s], rel,
+            affine=(buffers.affine[s], affine_all[trg_index]),
+        )
+        res_noaff = ph.photometric_cost_batch(
+            bundle, src, trg_images, buffers.K[s], geo_dims,
+            ld, buffers.kp_base[s], rel,
+        )
+        res = jnp.where(use_affine, res, res_noaff)
+        v = trg_valid.astype(res.dtype)
+        return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+    def step(carry):
+        ld, state, it, losses = carry
+        loss, g = jax.value_and_grad(loss_fn)(ld)
+        direction, state = opt.update(g, state)
+        ld = ld - lr_logdepth * direction
+        losses = losses.at[jnp.minimum(it, 63)].set(loss)
+        return ld, state, it + 1, losses
+
+    def cond(carry):
+        return carry[2] < num_iters
+
+    ld0 = buffers.kp_logdepth[s]
+    state0 = opt.init(ld0)
+    ld, _, _, losses = jax.lax.while_loop(
+        cond, step, (ld0, state0, jnp.asarray(0), jnp.zeros(64))
+    )
+    return ld, losses
+
+
 def write_back(buffers: WindowBuffers, params: MapParams) -> WindowBuffers:
     """Store optimized poses/logdepths/affines back into window buffers
     (odometery.py:941-967)."""

@@ -302,6 +302,26 @@ class Odometry:
             self.window_size, self.opt_supporting, self.affine_compensation,
         )
         map_cfg = self.config.alignment.mapping
+        if mode == "supp":
+            # specialized single-source path (runs every frame; the general
+            # mapper would compute all W sources and mask them out)
+            i = self.num_kfs - 1
+            ld, _losses = mapper.run_supp_refinement(
+                self.buffers, jnp.asarray(i),
+                jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
+                jnp.asarray(1e-2), jnp.asarray(num_iters),
+                jnp.asarray(self.affine_compensation),
+                tuple(self._geo_dims()),
+            )
+            self.buffers = self.buffers.replace(
+                kp_logdepth=self.buffers.kp_logdepth.at[i].set(ld)
+            )
+            lds = np.asarray(self.buffers.kp_logdepth)
+            n_i = self.host_kfs[i].kp_logdepth.shape[0]
+            self.host_kfs[i].kp_logdepth = lds[i, :n_i]
+            self._update_track_pose(mode)
+            self.initialised = True
+            return
         if map_cfg.solver == "gn":
             from ..solve.gn_mapping import gn_mapping
 
