@@ -160,6 +160,11 @@ class Loader {
 
   // blocks until idx decoded; moves result out of the cache
   Image get(int idx) {
+    {
+      // mark as awaited BEFORE scheduling so the eviction loop never drops it
+      std::lock_guard<std::mutex> lk(mu_);
+      waiting_.insert(idx);
+    }
     schedule_range(idx, idx + lookahead_);
     std::unique_lock<std::mutex> lk(mu_);
     cv_done_.wait(lk, [&] { return done_.count(idx) > 0; });
@@ -167,6 +172,7 @@ class Loader {
     done_.erase(idx);
     // allow future re-requests of this index to reschedule the decode
     scheduled_.erase(idx);
+    waiting_.erase(idx);
     return img;
   }
 
@@ -196,11 +202,17 @@ class Loader {
       {
         std::lock_guard<std::mutex> lk(mu_);
         done_[idx] = std::move(img);
-        // bound the cache: drop far-behind entries (and un-mark them as
-        // scheduled so a later re-request re-decodes instead of deadlocking)
-        while (done_.size() > (size_t)(4 * lookahead_ + 8)) {
-          scheduled_.erase(done_.begin()->first);
-          done_.erase(done_.begin());
+        // bound the cache: drop entries nobody is waiting on (and un-mark
+        // them as scheduled so later re-requests re-decode); never evict an
+        // awaited index — that would strand its blocked get() forever
+        size_t cap = (size_t)(4 * lookahead_ + 8);
+        for (auto it = done_.begin(); it != done_.end() && done_.size() > cap;) {
+          if (waiting_.count(it->first)) {
+            ++it;
+            continue;
+          }
+          scheduled_.erase(it->first);
+          it = done_.erase(it);
         }
       }
       cv_done_.notify_all();
@@ -215,6 +227,7 @@ class Loader {
   std::deque<int> queue_;
   std::map<int, Image> done_;
   std::set<int> scheduled_;
+  std::set<int> waiting_;
   bool stop_ = false;
 };
 

@@ -136,14 +136,21 @@ def photometric_cost(
         trg_pixels = affine_compensate(trg_pixels, affine[0], affine[1])
 
     src_pixels = src.pixels
-    if mode != "colour":
+    if mode == "colour":
+        # the reference ALWAYS slices the affine channels for colour mode
+        # (core/cost_utils.py:4-8) — with include_normals the image carries
+        # extra channels that must not enter the photometric residual
+        src_pixels = src_pixels[..., :3]
+        trg_pixels = trg_pixels[..., :3]
+    else:
         from .normal_modes import split_by_mode, transform_normals
 
         src_pixels = transform_normals(src_pixels, pose, mode)
         src_pixels = split_by_mode(src_pixels, mode)[0]
         trg_pixels_aff = split_by_mode(trg_pixels, mode)[0]
         if src_pixels is None:  # norm_kappa: affine term is 0 (reference
-            return jnp.zeros(())  # dense_optim.py:241-261 leaves it zero)
+            zero = jnp.zeros(())  # dense_optim.py:241-261 leaves it zero)
+            return (zero, {}) if return_aux else zero
         trg_pixels = trg_pixels_aff
 
     full_mask = (src.valid & trg_valid).astype(trg_pixels.dtype)
@@ -155,7 +162,7 @@ def photometric_cost(
         "points_trg": pts_t,
         "trg_pixels": trg_pixels,
         "full_mask": full_mask,
-        "residual_raw": (src.pixels - trg_pixels) * full_mask[..., None],
+        "residual_raw": (src_pixels - trg_pixels) * full_mask[..., None],
     }
     return residual, aux
 
@@ -187,7 +194,10 @@ def photometric_cost_batch(
         if affine is not None:
             trg_pixels = affine_compensate(trg_pixels, affine[0], trg_affine)
         full_mask = (src.valid & trg_valid).astype(trg_pixels.dtype)
-        return masked_l1_mean(src.pixels, trg_pixels, full_mask, bundle.num_valid)
+        # colour mode: RGB channels only (cost_utils.py:4-8)
+        return masked_l1_mean(
+            src.pixels[..., :3], trg_pixels[..., :3], full_mask, bundle.num_valid
+        )
 
     if affine is not None:
         return jax.vmap(per_target)(trg_images, poses, affine[1])

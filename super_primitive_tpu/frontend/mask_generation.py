@@ -220,9 +220,7 @@ def infer_masks(
                 else sel["iou_preds"]
             )
             keep = nms(sel["boxes"], scores, sam_params.box_nms_thresh)
-            for k in ("masks", "iou_preds", "keypoints_ids", "boxes"):
-                if k in sel:
-                    sel[k] = sel[k][keep]
+            sel = {k: v[keep] for k, v in sel.items()}  # incl. masks_ids
             kps_f = kps_f[keep]
         return sel, kps_f
 

@@ -204,6 +204,10 @@ def build_bundle(geo: SegmentGeometry, capacity: int) -> PointBundle:
     base = jnp.zeros((capacity + 1,), jnp.float32).at[tgt].set(
         geo.logdepth.reshape(-1), mode="drop"
     )
+    # overflow points (n > capacity) are dropped by the scatter; clamp the
+    # count so the masked-mean denominator stays consistent with the points
+    # that actually contribute (build_bundle_np raises instead)
+    n = jnp.minimum(n, capacity)
     valid = jnp.arange(capacity) < n
     return PointBundle(
         uv=uv[:capacity],

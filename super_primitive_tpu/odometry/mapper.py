@@ -147,7 +147,9 @@ class MapResult(NamedTuple):
     num_iters: jax.Array      # () actual iterations run
 
 
-@functools.partial(jax.jit, static_argnames=("geo_dims",), donate_argnums=())
+@functools.partial(
+    jax.jit, static_argnames=("geo_dims", "use_affine"), donate_argnums=()
+)
 def run_mapping(
     buffers: WindowBuffers,
     trg_index: jax.Array,       # (W, T_max)
@@ -161,55 +163,32 @@ def run_mapping(
     lr_affine: jax.Array,
     max_iters: jax.Array,
     early_stop: jax.Array,      # bool — enable 1e-8 relative stopping
-    use_affine: jax.Array,      # bool — affine compensation active
+    use_affine: bool,           # static — affine compensation active
     geo_dims: tuple[int, int],
+    drag_supporting: jax.Array = np.float32(0.0),  # 1.0 when opt_supporting
+                                # is OFF: supporting poses follow their
+                                # source KF's update (odometery.py:873-877)
 ) -> MapResult:
     """One fully-on-device mapping solve.  See module docstring."""
     W = buffers.capacity
     S = buffers.supp_capacity
     B = W + W * S
     T_max = trg_index.shape[1]
+    # pool entry -> owning keyframe slot (KFs own themselves)
+    kf_of = jnp.concatenate([jnp.arange(W), jnp.repeat(jnp.arange(W), S)])
+    is_supp = jnp.arange(B) >= W
 
     # --- unified pose/affine tables: KFs then flattened supp slots ---
-    poses0 = jnp.concatenate(
-        [buffers.poses, buffers.supp_poses.reshape(W * S, 4, 4)], axis=0
-    )
-    affine0 = jnp.concatenate(
-        [buffers.affine, buffers.supp_affine.reshape(W * S, 2)], axis=0
-    )
     params = MapParams(
-        poses=poses0,
+        poses=buffers.pose_pool(),
         xi=jnp.zeros((B, 6)),
         kp_logdepth=buffers.kp_logdepth,
-        affine=affine0,
+        affine=buffers.affine_pool(),
     )
 
     # --- per-source precomputation (constant during optimization) ---
-    # image pool: KF images then supp images
-    pool = jnp.concatenate(
-        [buffers.images, buffers.supp_images.reshape((W * S,) + buffers.images.shape[1:])],
-        axis=0,
-    )
-    trg_images = pool[trg_index]                 # (W, T_max, H, Wd, C)
-
-    def make_bundle(i):
-        return PointBundle(
-            uv=buffers.uv[i],
-            seg_id=buffers.seg_id[i],
-            base_logdepth=buffers.base_logdepth[i],
-            valid=buffers.point_valid[i],
-            num_valid=buffers.num_valid[i],
-        )
-
-    src_samples = jax.vmap(
-        lambda img, uv, v, nv: ph.precompute_source(
-            img,
-            PointBundle(uv=uv, seg_id=jnp.zeros(uv.shape[0], jnp.int32),
-                        base_logdepth=jnp.zeros(uv.shape[0]), valid=v, num_valid=nv),
-            geo_dims,
-        )
-    )(buffers.images, buffers.uv, buffers.point_valid, buffers.num_valid)
-    # src_samples: SourceSamples with leading (W,) axis
+    trg_images = buffers.image_pool()[trg_index]  # (W, T_max, H, Wd, C)
+    src_samples = buffers.source_samples(geo_dims)  # leading (W,) axis
 
     max_hist = 2048  # loss history ring (init mapping uses <= 1000 iters)
 
@@ -220,7 +199,7 @@ def run_mapping(
         E = jnp.matmul(p.poses, se3.exp(p.xi), precision=jax.lax.Precision.HIGHEST)
 
         def per_src(i):
-            bundle = make_bundle(i)
+            bundle = buffers.bundle_at(i)
             src = ph.SourceSamples(
                 pixels=src_samples.pixels[i], valid=src_samples.valid[i]
             )
@@ -231,13 +210,8 @@ def run_mapping(
             res = ph.photometric_cost_batch(
                 bundle, src, trg_images[i], buffers.K[i], geo_dims,
                 p.kp_logdepth[i], buffers.kp_base[i], rel,
-                affine=(p.affine[i], p.affine[idx]),
+                affine=(p.affine[i], p.affine[idx]) if use_affine else None,
             )
-            res_noaff = ph.photometric_cost_batch(
-                bundle, src, trg_images[i], buffers.K[i], geo_dims,
-                p.kp_logdepth[i], buffers.kp_base[i], rel,
-            )
-            res = jnp.where(use_affine, res, res_noaff)
             v = trg_valid[i].astype(res.dtype)
             return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
 
@@ -253,6 +227,13 @@ def run_mapping(
         upd_xi = -lr_pose * direction.xi * xi_mask[:, None]
         upd_ld = -lr_logdepth * direction.kp_logdepth * ld_mask[:, None]
         upd_aff = -lr_affine * direction.affine * affine_mask[:, None]
+
+        # opt_supporting=False: supporting frames stay rigidly attached to
+        # their source keyframe (reference supp @= inv(kf_delta),
+        # odometery.py:873-877) instead of being frozen in the world frame
+        upd_xi = jnp.where(
+            (is_supp & (drag_supporting > 0))[:, None], upd_xi[kf_of], upd_xi
+        )
 
         new_poses = jax.vmap(se3.retract)(p.poses, upd_xi)
         p = MapParams(
@@ -277,7 +258,7 @@ def run_mapping(
     return MapResult(params=p, losses=losses, num_iters=iters)
 
 
-@functools.partial(jax.jit, static_argnames=("geo_dims",))
+@functools.partial(jax.jit, static_argnames=("geo_dims", "use_affine"))
 def run_supp_refinement(
     buffers: WindowBuffers,
     src_slot: jax.Array,       # () int32 — the newest KF slot
@@ -285,7 +266,7 @@ def run_supp_refinement(
     trg_valid: jax.Array,      # (T_max,)
     lr_logdepth: jax.Array,
     num_iters: jax.Array,
-    use_affine: jax.Array,
+    use_affine: bool,
     geo_dims: tuple[int, int],
 ) -> tuple[jax.Array, jax.Array]:
     """Specialized 'supp' mapping: refine ONLY the newest KF's log-depths
@@ -297,29 +278,13 @@ def run_supp_refinement(
 
     Returns (kp_logdepth (N,), losses (num_iters<=64,)).
     """
-    W = buffers.capacity
-    S = buffers.supp_capacity
-    pool = jnp.concatenate(
-        [buffers.images,
-         buffers.supp_images.reshape((W * S,) + buffers.images.shape[1:])],
-        axis=0,
-    )
-    poses_all = jnp.concatenate(
-        [buffers.poses, buffers.supp_poses.reshape(W * S, 4, 4)], axis=0
-    )
-    affine_all = jnp.concatenate(
-        [buffers.affine, buffers.supp_affine.reshape(W * S, 2)], axis=0
-    )
     s = src_slot
-    bundle = PointBundle(
-        uv=buffers.uv[s], seg_id=buffers.seg_id[s],
-        base_logdepth=buffers.base_logdepth[s],
-        valid=buffers.point_valid[s], num_valid=buffers.num_valid[s],
-    )
+    bundle = buffers.bundle_at(s)
     src = ph.precompute_source(buffers.images[s], bundle, geo_dims)
-    trg_images = pool[trg_index]
+    trg_images = buffers.image_pool()[trg_index]
+    affine_all = buffers.affine_pool()
     rel = jnp.matmul(
-        se3.inverse(poses_all[trg_index]), buffers.poses[s],
+        se3.inverse(buffers.pose_pool()[trg_index]), buffers.poses[s],
         precision=jax.lax.Precision.HIGHEST,
     )
     opt = optax.scale_by_adam()
@@ -328,13 +293,8 @@ def run_supp_refinement(
         res = ph.photometric_cost_batch(
             bundle, src, trg_images, buffers.K[s], geo_dims,
             ld, buffers.kp_base[s], rel,
-            affine=(buffers.affine[s], affine_all[trg_index]),
+            affine=(buffers.affine[s], affine_all[trg_index]) if use_affine else None,
         )
-        res_noaff = ph.photometric_cost_batch(
-            bundle, src, trg_images, buffers.K[s], geo_dims,
-            ld, buffers.kp_base[s], rel,
-        )
-        res = jnp.where(use_affine, res, res_noaff)
         v = trg_valid.astype(res.dtype)
         return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
 

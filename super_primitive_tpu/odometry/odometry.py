@@ -151,6 +151,10 @@ class Odometry:
                     )
                 else:
                     kp_logdepth = np.log(direct).astype(np.float32)
+                # GT init marks the system initialised immediately
+                # (odometery.py:159): no init-mode mapping, normal gating
+                # and supp refinement from frame 1
+                self.initialised = True
         else:
             est = self.estimate_depth_latest_kf(pose)
             kp_logdepth = depth_init.segment_based_depth_reinit(
@@ -310,7 +314,7 @@ class Odometry:
                 self.buffers, jnp.asarray(i),
                 jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
                 jnp.asarray(1e-2), jnp.asarray(num_iters),
-                jnp.asarray(self.affine_compensation),
+                bool(self.affine_compensation),
                 tuple(self._geo_dims()),
             )
             self.buffers = self.buffers.replace(
@@ -334,6 +338,9 @@ class Odometry:
                 tuple(self._geo_dims()),
                 max_iters=map_cfg.gn_max_iters,
                 use_affine=self.affine_compensation,
+                drag_supporting=jnp.asarray(
+                    0.0 if self.opt_supporting else 1.0
+                ),
             )
             result = mapper.MapResult(
                 params=mapper.MapParams(
@@ -352,8 +359,11 @@ class Odometry:
                 jnp.asarray(masks.affine_mask),
                 jnp.asarray(lr_pose), jnp.asarray(1e-2), jnp.asarray(1e-5),
                 jnp.asarray(num_iters), jnp.asarray(self.initialised),
-                jnp.asarray(self.affine_compensation),
+                bool(self.affine_compensation),
                 tuple(self._geo_dims()),
+                drag_supporting=jnp.asarray(
+                    0.0 if self.opt_supporting else 1.0
+                ),
             )
         self.buffers = mapper.write_back(self.buffers, result.params)
 
@@ -430,6 +440,10 @@ class Odometry:
         io.save_trajectory(
             traj_dir, self.global_track_trajectory, tag, name="track_traj"
         )
+        import json
+
+        with open(f"{traj_dir}/frame_timestamps_{tag}.json", "w") as f:
+            json.dump(self.frame_timestamps, f)
         with open(f"{kf_dir}/window.txt", "w") as f:
             f.write("\n".join(kf.timestamp for kf in self.host_kfs))
         return kf_dir
@@ -448,6 +462,19 @@ class Odometry:
         self.global_track_trajectory = io.load_trajectory(
             f"{traj_dir}/track_traj_{tag}.json"
         )
+        # pre-restore frame timestamps are needed by the final TUM export
+        import json
+        import os
+
+        ts_file = f"{traj_dir}/frame_timestamps_{tag}.json"
+        if os.path.exists(ts_file):
+            with open(ts_file) as f:
+                self.frame_timestamps.update(json.load(f))
+        else:  # older checkpoints: recover from the dataset
+            for fid in set(self.global_kf_trajectory) | set(self.global_track_trajectory):
+                self.frame_timestamps[fid] = float(
+                    self.dataset[int(fid)].get("timestamp", int(fid))
+                )
         for ts in timestamps:
             kf = io.load_kf(kf_dir, ts)
             if self.seg_cap is None:

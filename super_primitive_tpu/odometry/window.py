@@ -58,6 +58,52 @@ class WindowBuffers(struct.PyTreeNode):
     def supp_capacity(self) -> int:
         return self.supp_images.shape[1]
 
+    # --- unified pools: W keyframe entries followed by W*S flattened supp
+    # slots; index convention shared by mapper.build_slots/build_masks ---
+    def image_pool(self) -> jax.Array:
+        W, S = self.capacity, self.supp_capacity
+        return jnp.concatenate(
+            [self.images, self.supp_images.reshape((W * S,) + self.images.shape[1:])],
+            axis=0,
+        )
+
+    def pose_pool(self) -> jax.Array:
+        W, S = self.capacity, self.supp_capacity
+        return jnp.concatenate(
+            [self.poses, self.supp_poses.reshape(W * S, 4, 4)], axis=0
+        )
+
+    def affine_pool(self) -> jax.Array:
+        W, S = self.capacity, self.supp_capacity
+        return jnp.concatenate(
+            [self.affine, self.supp_affine.reshape(W * S, 2)], axis=0
+        )
+
+    def bundle_at(self, i):
+        from ..keyframe import PointBundle
+
+        return PointBundle(
+            uv=self.uv[i], seg_id=self.seg_id[i],
+            base_logdepth=self.base_logdepth[i],
+            valid=self.point_valid[i], num_valid=self.num_valid[i],
+        )
+
+    def source_samples(self, geo_dims):
+        """Per-KF source-image samples at bundle pixels (vmapped)."""
+        from ..cost import photometric as ph
+        from ..keyframe import PointBundle
+
+        return jax.vmap(
+            lambda img, uv, v, nv: ph.precompute_source(
+                img,
+                PointBundle(
+                    uv=uv, seg_id=jnp.zeros(uv.shape[0], jnp.int32),
+                    base_logdepth=jnp.zeros(uv.shape[0]), valid=v, num_valid=nv,
+                ),
+                geo_dims,
+            )
+        )(self.images, self.uv, self.point_valid, self.num_valid)
+
 
 @dataclasses.dataclass
 class HostKeyFrame:

@@ -67,7 +67,9 @@ def _residuals(
     if use_affine:
         trg_pixels = ph.affine_compensate(trg_pixels, kf_affine, params[6:8])
     valid = (src.valid & trg_valid).astype(trg_pixels.dtype)
-    r = (src.pixels - trg_pixels) * valid[..., None]
+    # colour mode: RGB channels only (cost_utils.py:4-8; include_normals
+    # appends channels that must not enter the photometric residual)
+    r = (src.pixels[..., :3] - trg_pixels[..., :3]) * valid[..., None]
     return r, valid
 
 

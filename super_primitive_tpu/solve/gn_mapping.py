@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cost import photometric as ph
 from ..geometry import projection
@@ -76,6 +77,7 @@ def gn_mapping(
     max_iters: int = 30,
     use_affine: bool = False,
     tol: float = 1e-5,
+    drag_supporting: jax.Array = np.float32(0.0),
 ) -> GNMapResult:
     W = buffers.capacity
     S = buffers.supp_capacity
@@ -83,30 +85,12 @@ def gn_mapping(
     T_max = trg_index.shape[1]
     N = buffers.kp_logdepth.shape[1]
     M = B * 8  # 6 pose + 2 affine per entity
-    C = buffers.images.shape[-1]
+    C = 3      # photometric residual uses RGB channels only
 
-    pool = jnp.concatenate(
-        [buffers.images,
-         buffers.supp_images.reshape((W * S,) + buffers.images.shape[1:])],
-        axis=0,
-    )
-    trg_images = pool[trg_index]                    # (W, T_max, H, Wd, C)
-    affine0 = jnp.concatenate(
-        [buffers.affine, buffers.supp_affine.reshape(W * S, 2)], axis=0
-    )
-    poses0 = jnp.concatenate(
-        [buffers.poses, buffers.supp_poses.reshape(W * S, 4, 4)], axis=0
-    )
-
-    src_samples = jax.vmap(
-        lambda img, uv, v, nv: ph.precompute_source(
-            img,
-            PointBundle(uv=uv, seg_id=jnp.zeros(uv.shape[0], jnp.int32),
-                        base_logdepth=jnp.zeros(uv.shape[0]), valid=v,
-                        num_valid=nv),
-            geo_dims,
-        )
-    )(buffers.images, buffers.uv, buffers.point_valid, buffers.num_valid)
+    trg_images = buffers.image_pool()[trg_index]    # (W, T_max, H, Wd, C)
+    affine0 = buffers.affine_pool()
+    poses0 = buffers.pose_pool()
+    src_samples = buffers.source_samples(geo_dims)
 
     # flattened group arrays (G = W * T_max)
     G = W * T_max
@@ -137,11 +121,7 @@ def gn_mapping(
             se3.inverse(poses[t]), poses[s], precision=jax.lax.Precision.HIGHEST
         )
         rel = jnp.matmul(rel0, se3.exp(local[:6]), precision=jax.lax.Precision.HIGHEST)
-        bundle = PointBundle(
-            uv=buffers.uv[s], seg_id=buffers.seg_id[s],
-            base_logdepth=buffers.base_logdepth[s],
-            valid=buffers.point_valid[s], num_valid=buffers.num_valid[s],
-        )
+        bundle = buffers.bundle_at(s)
         logd = ph.spread_logdepth(bundle, kp_logdepth[s], buffers.kp_base[s]) + local[6]
         pts = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
         pts_t = projection.transform(pts, rel)
@@ -156,7 +136,8 @@ def gn_mapping(
         valid = (
             src_samples.valid[s] & trg_ok & bundle.valid
         ).astype(trg_px.dtype)
-        r = (src_samples.pixels[s] - trg_px) * valid[..., None]
+        # colour mode: RGB channels only (cost_utils.py:4-8)
+        r = (src_samples.pixels[s][..., :3] - trg_px[..., :3]) * valid[..., None]
         return r, valid
 
     def group_cost(gi, poses, kp_logdepth, affine):
@@ -256,8 +237,15 @@ def gn_mapping(
         d_l = -(D_inv * (g_l_m + Bm_m @ d_theta)) * ld_mask_flat
         return d_theta, d_l
 
+    kf_of = jnp.concatenate([jnp.arange(W), jnp.repeat(jnp.arange(W), S)])
+    is_supp = jnp.arange(B) >= W
+
     def apply_update(poses, kp_logdepth, affine, d_theta, d_l):
         d_xi = d_theta[: 6 * B].reshape(B, 6)
+        # opt_supporting=False: drag supporting poses with their source KF
+        d_xi = jnp.where(
+            (is_supp & (drag_supporting > 0))[:, None], d_xi[kf_of], d_xi
+        )
         d_aff = d_theta[6 * B :].reshape(B, 2)
         poses_new = jax.vmap(se3.retract)(poses, d_xi)
         return (

@@ -76,7 +76,7 @@ def run_adam(buf, geo_dims, iters, num_kfs=3):
         jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
         jnp.asarray(masks.affine_mask),
         jnp.asarray(1e-4), jnp.asarray(1e-2), jnp.asarray(1e-5),
-        jnp.asarray(iters), jnp.asarray(False), jnp.asarray(False),
+        jnp.asarray(iters), jnp.asarray(False), False,
         geo_dims,
     ), slots, masks
 
@@ -112,7 +112,7 @@ class TestAdamMapping:
             jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
             jnp.asarray(masks.affine_mask),
             jnp.asarray(1e-4), jnp.asarray(1e-2), jnp.asarray(1e-5),
-            jnp.asarray(20), jnp.asarray(False), jnp.asarray(False), geo_dims,
+            jnp.asarray(20), jnp.asarray(False), False, geo_dims,
         )
         np.testing.assert_allclose(
             np.asarray(res.params.poses), np.asarray(

@@ -53,7 +53,7 @@ class TestShardedMapping:
             jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
             jnp.asarray(masks.affine_mask),
             jnp.asarray(1e-4), jnp.asarray(1e-2), jnp.asarray(1e-5),
-            jnp.asarray(25), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(25), jnp.asarray(False), False,
         )
         res_plain = mapper.run_mapping(buf, *args, geo_dims)
 
