@@ -108,14 +108,13 @@ class FrontProcessor:
             raise RuntimeError("frontend produced no masks")
         masks_coarse = _nn_resize(masks, (Hg, Wg)).astype(bool)
 
-        # 3. BiNI integration per segment at geometry resolution
+        # 3. BiNI integration per segment at geometry resolution.
+        # Crop/full routing: most segments fit a small window (crop-based
+        # solve is exact and ~(HW/crop^2)x cheaper); oversized ones take the
+        # full-field path.  Segment counts are bucket-padded so the jitted
+        # solvers compile once per bucket, not per keyframe.
         bini_cfg = BiniConfig(cg_max_iter=fc.cg_max_iter, cg_tol=fc.cg_tol)
-        depth_perseg = np.asarray(
-            integrate_to_depth(
-                jnp.asarray(normals), jnp.asarray(masks_coarse),
-                jnp.asarray(K_geom, jnp.float32), bini_cfg,
-            )
-        )
+        depth_perseg = self._integrate_routed(normals, masks_coarse, K_geom, bini_cfg)
 
         # 4. downsample image to KF size; depth NN-resized; log in-mask
         s = 2 ** fc.downsample_pow
@@ -161,6 +160,48 @@ class FrontProcessor:
             "normals": normals,
             "edges": gen["edges"],
         }
+
+    def _integrate_routed(
+        self, normals, masks, K_geom, bini_cfg, crop: int = 128
+    ) -> np.ndarray:
+        """Host-side crop/full routing + bucket padding for BiNI."""
+        from ..integrate.bini import (
+            integrate_normals,
+            integrate_normals_cropped,
+            segment_bbox_sizes,
+        )
+
+        def pad_bucket(m, bucket):
+            n = m.shape[0]
+            cap = max(bucket, int(np.ceil(n / bucket) * bucket))
+            if cap == n:
+                return m, n
+            out = np.zeros((cap,) + m.shape[1:], m.dtype)
+            out[:n] = m
+            return out, n
+
+        N = masks.shape[0]
+        hs, ws = segment_bbox_sizes(masks)
+        fits = (hs <= crop) & (ws <= crop)
+        normals_j = jnp.asarray(normals)
+        K_j = jnp.asarray(K_geom, jnp.float32)
+        depth = np.zeros(masks.shape, np.float32)
+
+        if fits.any():
+            m_small, n_small = pad_bucket(masks[fits], 32)
+            zt = np.asarray(
+                integrate_normals_cropped(
+                    normals_j, jnp.asarray(m_small), K_j, bini_cfg, crop
+                )
+            )[:n_small]
+            depth[fits] = np.exp(zt) * masks[fits]
+        if (~fits).any():
+            m_big, n_big = pad_bucket(masks[~fits], 8)
+            zt = np.asarray(
+                integrate_normals(normals_j, jnp.asarray(m_big), K_j, bini_cfg)
+            )[:n_big]
+            depth[~fits] = np.exp(zt) * masks[~fits]
+        return depth
 
     def process_to_supp_kf(self, image, K) -> dict:
         image = np.asarray(image)

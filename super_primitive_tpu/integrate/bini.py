@@ -237,27 +237,15 @@ def _pcg(apply_A, b, x0, mask, diag, max_iter, tol):
     return x_best, iters
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def integrate_normals(
-    normals: jax.Array,
-    masks: jax.Array,
-    K: jax.Array,
-    config: BiniConfig = BiniConfig(),
-) -> jax.Array:
-    """Integrate (H, W, 3) normals inside each of N segment masks.
+def _solve_given_coeffs(D, c_u, c_v, masks, config: BiniConfig):
+    """IRLS + PCG given per-pixel coefficients.
 
-    Returns per-segment log-depth fields (N, H, W), zero outside the mask and
-    gauge-fixed to mean 0 inside (depth is ``exp`` of this, up to the
-    per-segment scalar the tracker optimizes).
-
-    Equivalent of ``normal_integration_batch_cupy`` + the log conversion the
-    frontend performs afterwards (process_frame.py:231-236).
+    ``D``, ``c_u``, ``c_v`` broadcast against (N, h, w) masks — shared (h, w)
+    fields for the full-frame path, per-segment (N, h, w) for crops.
     """
-    masks = masks.astype(bool)
-    maskf = masks.astype(normals.dtype)
-    D, c_u, c_v = _coefficients(normals, K)
+    maskf = masks.astype(jnp.float32)
     em_b = _edge_masks(masks)
-    em = {k_: v.astype(normals.dtype) for k_, v in em_b.items()}
+    em = {k_: v.astype(jnp.float32) for k_, v in em_b.items()}
 
     zt = jnp.zeros_like(maskf)
     w_u = jnp.full_like(maskf, 0.5)
@@ -281,6 +269,111 @@ def integrate_normals(
         w_u, w_v = _weights_from_residuals(zt, D, c_u, c_v, em, config.k)
 
     return zt * maskf
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def integrate_normals(
+    normals: jax.Array,
+    masks: jax.Array,
+    K: jax.Array,
+    config: BiniConfig = BiniConfig(),
+) -> jax.Array:
+    """Integrate (H, W, 3) normals inside each of N segment masks.
+
+    Returns per-segment log-depth fields (N, H, W), zero outside the mask and
+    gauge-fixed to mean 0 inside (depth is ``exp`` of this, up to the
+    per-segment scalar the tracker optimizes).
+
+    Equivalent of ``normal_integration_batch_cupy`` + the log conversion the
+    frontend performs afterwards (process_frame.py:231-236).
+    """
+    masks = masks.astype(bool)
+    D, c_u, c_v = _coefficients(normals, K)
+    return _solve_given_coeffs(D, c_u, c_v, masks, config)
+
+
+def _coefficients_window(normals_crop, K, r0, c0):
+    """Per-pixel D, c_u, c_v for a crop whose top-left sits at global pixel
+    (r0, c0) — the pixel-offset generalization of :func:`_coefficients`."""
+    h, w, _ = normals_crop.shape
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    nx, ny, nz = normals_crop[..., 0], normals_crop[..., 1], normals_crop[..., 2]
+    col = c0 + jnp.arange(w, dtype=normals_crop.dtype)[None, :] - cx
+    row = r0 + jnp.arange(h, dtype=normals_crop.dtype)[:, None] - cy
+    D = nx * col / fx + ny * row / fy + nz
+    return D, nx / fx, ny / fy
+
+
+@functools.partial(jax.jit, static_argnames=("config", "crop"))
+def integrate_normals_cropped(
+    normals: jax.Array,
+    masks: jax.Array,
+    K: jax.Array,
+    config: BiniConfig = BiniConfig(),
+    crop: int = 128,
+) -> jax.Array:
+    """Crop-based integration: each segment solves on a crop x crop window
+    around its bounding box instead of the full field (SURVEY §7.1: segments
+    as fixed-size masked crops with bbox metadata).
+
+    EXACT for segments whose bbox fits the window: the linear system only
+    couples in-mask pixels, all inside the bbox.  Segments with larger boxes
+    are silently truncated — callers route those to :func:`integrate_normals`
+    (see :func:`integrate_to_depth`'s auto dispatch in the frontend).
+
+    Returns (N, H, W) log-depth fields scattered back to full resolution.
+    """
+    masks = masks.astype(bool)
+    N, H, W = masks.shape
+    crop_h = min(crop, H)
+    crop_w = min(crop, W)
+
+    any_r = masks.any(axis=2)
+    any_c = masks.any(axis=1)
+    top = jnp.argmax(any_r, axis=1)
+    bottom = H - 1 - jnp.argmax(any_r[:, ::-1], axis=1)
+    left = jnp.argmax(any_c, axis=1)
+    right = W - 1 - jnp.argmax(any_c[:, ::-1], axis=1)
+    h = bottom - top + 1
+    w = right - left + 1
+    r0 = jnp.clip(top - (crop_h - h) // 2, 0, max(H - crop_h, 0))
+    c0 = jnp.clip(left - (crop_w - w) // 2, 0, max(W - crop_w, 0))
+
+    crops_n = jax.vmap(
+        lambda r, c: jax.lax.dynamic_slice(normals, (r, c, 0), (crop_h, crop_w, 3))
+    )(r0, c0)
+    crops_m = jax.vmap(
+        lambda m, r, c: jax.lax.dynamic_slice(m, (r, c), (crop_h, crop_w))
+    )(masks, r0, c0)
+
+    D, c_u, c_v = jax.vmap(
+        lambda n, r, c: _coefficients_window(n, K, r, c)
+    )(crops_n, r0.astype(normals.dtype), c0.astype(normals.dtype))
+
+    zt_crops = _solve_given_coeffs(D, c_u, c_v, crops_m, config)
+
+    out = jax.vmap(
+        lambda z, r, c: jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W), z.dtype), z, (r, c)
+        )
+    )(zt_crops, r0, c0)
+    return out * masks.astype(out.dtype)
+
+
+def segment_bbox_sizes(masks_np):
+    """Host-side bbox extents (h, w) per segment for crop/full routing."""
+    import numpy as np
+
+    N = masks_np.shape[0]
+    hs = np.zeros(N, np.int64)
+    ws = np.zeros(N, np.int64)
+    for i in range(N):
+        rr, cc = np.nonzero(masks_np[i])
+        if rr.size:
+            hs[i] = rr.max() - rr.min() + 1
+            ws[i] = cc.max() - cc.min() + 1
+    return hs, ws
 
 
 def integrate_to_depth(normals, masks, K, config: BiniConfig = BiniConfig()):
