@@ -251,17 +251,30 @@ def _solve_given_coeffs(D, c_u, c_v, masks, config: BiniConfig):
     w_u = jnp.full_like(maskf, 0.5)
     w_v = jnp.full_like(maskf, 0.5)
 
-    from ..ops.pallas_stencil import bini_apply
+    import jax as _jax
+
+    from ..ops.pallas_stencil import bini_apply, bini_cg_pallas
+
+    # in-kernel CG needs all fields of one segment resident in VMEM
+    h, w = maskf.shape[-2], maskf.shape[-1]
+    in_kernel = _jax.default_backend() == "tpu" and (h * w * 4 * 10) < 8 * 2**20
 
     for _ in range(config.outer_iters):
         q, b, diag = _system(D, c_u, c_v, em, w_u, w_v)
         q_up, q_um, q_vp, q_vm = (
             jnp.broadcast_to(q[k], maskf.shape) for k in ("up", "um", "vp", "vm")
         )
-        apply_A = lambda x: bini_apply(x, q_up, q_um, q_vp, q_vm)  # noqa: E731
-        zt, _ = _pcg(
-            apply_A, b * maskf, zt, masks, diag, config.cg_max_iter, config.cg_tol
-        )
+        if in_kernel:
+            diag_b = jnp.broadcast_to(diag, maskf.shape)
+            zt = bini_cg_pallas(
+                b * maskf, zt, maskf, diag_b, q_up, q_um, q_vp, q_vm,
+                int(config.cg_max_iter), float(config.cg_tol),
+            )
+        else:
+            apply_A = lambda x: bini_apply(x, q_up, q_um, q_vp, q_vm)  # noqa: E731
+            zt, _ = _pcg(
+                apply_A, b * maskf, zt, masks, diag, config.cg_max_iter, config.cg_tol
+            )
         # gauge fix before the weight update for numerical stability
         npix = jnp.maximum(jnp.sum(maskf, axis=(-2, -1)), 1.0)
         mean = jnp.sum(zt * maskf, axis=(-2, -1)) / npix

@@ -100,3 +100,94 @@ def bini_apply(p, q_up, q_um, q_vp, q_vm):
     if jax.default_backend() == "tpu":
         return bini_apply_pallas(p, q_up, q_um, q_vp, q_vm)
     return bini_apply_reference(p, q_up, q_um, q_vp, q_vm)
+
+
+# --------------------------------------------------------------------------
+# Whole-solver kernel: the complete Jacobi-PCG runs INSIDE one Pallas program
+# per segment with every field resident in VMEM.  The host-level PCG pays a
+# dispatch + HBM round trip per CG iteration; at segment-crop sizes that
+# fixed cost dominates (measured: runtime nearly independent of crop size).
+# In-kernel, one CG step is ~40 VPU ops on a VMEM-resident field.
+# --------------------------------------------------------------------------
+
+
+def _cg_kernel_body(max_iter: int, tol: float):
+    def kernel(b_ref, x0_ref, mask_ref, diag_ref,
+               q_up_ref, q_um_ref, q_vp_ref, q_vm_ref, out_ref):
+        mask = mask_ref[0]
+        b = b_ref[0] * mask
+        q = (q_up_ref[0], q_um_ref[0], q_vp_ref[0], q_vm_ref[0])
+        diag = diag_ref[0]
+        inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.where(diag > 1e-12, diag, 1.0), 0.0)
+
+        def apply_A(p):
+            return _apply_math(p, *q) * mask
+
+        def dot(a, c):
+            return jnp.sum(a * c * mask)
+
+        x = x0_ref[0] * mask
+        r = (b - apply_A(x)) * mask
+        z = r * inv_diag * mask
+        p = z
+        rz = dot(r, z)
+        b_norm = jnp.sqrt(dot(b, b))
+        thresh = jnp.maximum(tol, 5e-7) * jnp.maximum(b_norm, 1e-30)
+        r_norm0 = jnp.sqrt(dot(r, r))
+
+        def active(r_norm, best):
+            return jnp.logical_not(
+                jnp.logical_or(r_norm <= thresh, r_norm > 10.0 * best + 1e-30)
+            )
+
+        def cond(state):
+            x, r, z, p, rz, x_best, best, it = state
+            r_norm = jnp.sqrt(dot(r, r))
+            return jnp.logical_and(it < max_iter, active(r_norm, best))
+
+        def body(state):
+            x, r, z, p, rz, x_best, best, it = state
+            r_norm = jnp.sqrt(dot(r, r))
+            improved = r_norm < best
+            x_best = jnp.where(improved, x, x_best)
+            best = jnp.minimum(best, r_norm)
+            Ap = apply_A(p)
+            pAp = dot(p, Ap)
+            alpha = jnp.where(pAp > 1e-30, rz / jnp.where(pAp > 1e-30, pAp, 1.0), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = r * inv_diag * mask
+            rz_new = dot(r, z)
+            beta = jnp.where(rz > 1e-30, rz_new / jnp.where(rz > 1e-30, rz, 1.0), 0.0)
+            p = z + beta * p
+            return (x, r, z, p, rz_new, x_best, best, it + 1)
+
+        x, r, _, _, _, x_best, best, _ = jax.lax.while_loop(
+            cond, body, (x, r, z, p, rz, x, r_norm0, jnp.int32(0))
+        )
+        r_norm = jnp.sqrt(dot(r, r))
+        out_ref[0] = jnp.where(r_norm < best, x, x_best)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "tol", "interpret"))
+def bini_cg_pallas(
+    b, x0, mask, diag, q_up, q_um, q_vp, q_vm,
+    max_iter: int, tol: float, interpret: bool = False,
+):
+    """Full per-segment Jacobi-PCG in one Pallas program (grid over N).
+
+    Math identical to integrate.bini._pcg (tolerance floor, best-iterate
+    tracking, divergence freeze) — verified against it in tests.
+    """
+    N, H, W = b.shape
+    block = pl.BlockSpec((1, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _cg_kernel_body(max_iter, tol),
+        grid=(N,),
+        in_specs=[block] * 8,
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((N, H, W), b.dtype),
+        interpret=interpret,
+    )(b, x0, mask, diag, q_up, q_um, q_vp, q_vm)
