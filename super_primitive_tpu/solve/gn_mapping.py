@@ -146,9 +146,9 @@ def gn_mapping(
         return jnp.sum(jnp.abs(r)) / (C * nv)
 
     def total_cost(poses, kp_logdepth, affine):
-        costs = jax.lax.map(
-            lambda gi: group_cost(gi, poses, kp_logdepth, affine), jnp.arange(G)
-        )
+        costs = jax.vmap(
+            lambda gi: group_cost(gi, poses, kp_logdepth, affine)
+        )(jnp.arange(G))
         per_src = (costs * g_valid).reshape(W, T_max)
         cnt = jnp.maximum(trg_valid.sum(axis=1), 1)
         return jnp.sum(per_src.sum(axis=1) / cnt * src_valid)
