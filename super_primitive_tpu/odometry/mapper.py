@@ -317,6 +317,97 @@ def run_supp_refinement(
     return ld, losses
 
 
+@functools.partial(jax.jit, static_argnames=("geo_dims", "use_affine", "max_iters"))
+def run_supp_refinement_gn(
+    buffers: WindowBuffers,
+    src_slot: jax.Array,
+    trg_index: jax.Array,      # (T_max,)
+    trg_valid: jax.Array,      # (T_max,)
+    use_affine: bool,
+    geo_dims: tuple[int, int],
+    max_iters: int = 6,
+) -> tuple[jax.Array, jax.Array]:
+    """Newton supp refinement: per-segment scalar log-depths have a DIAGONAL
+    normal-equation system (each point touches exactly one scalar), so the
+    GN step is elementwise — no linear solve at all.  One forward-mode
+    tangent column recovers every per-point partial (the gn_mapping trick);
+    IRLS-L1 weights match the Adam path's objective.
+
+    Converges in ~3-6 iterations vs 10 Adam steps, with one linearization
+    (~2 forward passes) per iteration.
+    """
+    s = src_slot
+    bundle = buffers.bundle_at(s)
+    src = ph.precompute_source(buffers.images[s], bundle, geo_dims)
+    trg_images = buffers.image_pool()[trg_index]
+    affine_all = buffers.affine_pool()
+    rel = jnp.matmul(
+        se3.inverse(buffers.pose_pool()[trg_index]), buffers.poses[s],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    N = buffers.kp_logdepth.shape[1]
+    v_slot = trg_valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(v_slot), 1.0)
+    nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
+
+    from ..geometry import projection
+    from ..ops.sampling import bilinear_sample
+
+    def residuals(ld, shift):
+        """(T_max, P, C) residuals with a uniform per-point logdepth tangent."""
+        logd = ph.spread_logdepth(bundle, ld, buffers.kp_base[s]) + shift
+        pts = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
+
+        def per_target(img, pose, aff_t):
+            pts_t = projection.transform(pts, pose)
+            uv_t = projection.project(pts_t, buffers.K[s])
+            coords = ph.normalized_image_coords(uv_t, geo_dims)
+            px, ok = bilinear_sample(img, coords)
+            ok = ok & (jax.lax.stop_gradient(pts_t[..., 2]) > ph.Z_VALID_BATCH)
+            if use_affine:
+                px = ph.affine_compensate(px, buffers.affine[s], aff_t)
+            valid = (src.valid & ok & bundle.valid).astype(px.dtype)
+            return (src.pixels[..., :3] - px[..., :3]) * valid[..., None], valid
+
+        return jax.vmap(per_target)(trg_images, rel, affine_all[trg_index])
+
+    def cost_of(r):
+        per = jnp.sum(jnp.abs(r), axis=(1, 2)) / (3.0 * nv)
+        return jnp.sum(per * v_slot) / cnt
+
+    def body(state):
+        ld, lam, it, cost, done = state
+        r0, valid = residuals(ld, jnp.zeros(()))
+        j = jax.jacfwd(lambda sh: residuals(ld, sh)[0])(jnp.zeros(()))  # (T,P,C)
+        w = v_slot[:, None, None] / jnp.maximum(jnp.abs(r0), 1e-3)
+        w = w * valid[..., None] / (3.0 * nv * cnt)
+        # diagonal per-segment accumulation
+        jtj_pt = jnp.sum(w * j * j, axis=(0, 2))    # (P,)
+        jtr_pt = jnp.sum(w * j * r0, axis=(0, 2))   # (P,)
+        JtJ = jnp.zeros(N).at[bundle.seg_id].add(jtj_pt)
+        Jtr = jnp.zeros(N).at[bundle.seg_id].add(jtr_pt)
+        step = -Jtr / (JtJ * (1.0 + lam) + 1e-12)
+        ld_new = ld + step
+        cost_new = cost_of(residuals(ld_new, jnp.zeros(()))[0])
+        improved = cost_new < cost
+        ld = jnp.where(improved, ld_new, ld)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-6), lam * 4.0)
+        rel_change = jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-30)
+        done = jnp.logical_or(jnp.logical_and(improved, rel_change < 1e-6), lam > 1e4)
+        cost = jnp.where(improved, cost_new, cost)
+        return ld, lam, it + 1, cost, done
+
+    def cond(state):
+        return jnp.logical_and(state[2] < max_iters, jnp.logical_not(state[4]))
+
+    ld0 = buffers.kp_logdepth[s]
+    cost0 = cost_of(residuals(ld0, jnp.zeros(()))[0])
+    ld, _, iters, cost, _ = jax.lax.while_loop(
+        cond, body, (ld0, jnp.asarray(1e-3), jnp.asarray(0), cost0, jnp.asarray(False))
+    )
+    return ld, jnp.stack([cost0, cost])
+
+
 def write_back(buffers: WindowBuffers, params: MapParams) -> WindowBuffers:
     """Store optimized poses/logdepths/affines back into window buffers
     (odometery.py:941-967)."""

@@ -310,13 +310,22 @@ class Odometry:
             # specialized single-source path (runs every frame; the general
             # mapper would compute all W sources and mask them out)
             i = self.num_kfs - 1
-            ld, _losses = mapper.run_supp_refinement(
-                self.buffers, jnp.asarray(i),
-                jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
-                jnp.asarray(1e-2), jnp.asarray(num_iters),
-                bool(self.affine_compensation),
-                tuple(self._geo_dims()),
-            )
+            if map_cfg.solver == "gn":
+                ld, _losses = mapper.run_supp_refinement_gn(
+                    self.buffers, jnp.asarray(i),
+                    jnp.asarray(slots.trg_index[i]),
+                    jnp.asarray(slots.trg_valid[i]),
+                    bool(self.affine_compensation),
+                    tuple(self._geo_dims()),
+                )
+            else:
+                ld, _losses = mapper.run_supp_refinement(
+                    self.buffers, jnp.asarray(i),
+                    jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
+                    jnp.asarray(1e-2), jnp.asarray(num_iters),
+                    bool(self.affine_compensation),
+                    tuple(self._geo_dims()),
+                )
             self.buffers = self.buffers.replace(
                 kp_logdepth=self.buffers.kp_logdepth.at[i].set(ld)
             )

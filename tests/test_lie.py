@@ -133,3 +133,39 @@ class TestSE3:
         g = jax.grad(loss)(jnp.zeros(6))
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
+
+
+class TestSim3:
+    def test_exp_identity(self):
+        from super_primitive_tpu.lie import sim3
+
+        T = np.asarray(sim3.exp(jnp.zeros(7)))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
+
+    def test_exp_log_roundtrip(self):
+        from super_primitive_tpu.lie import sim3
+
+        xi = rng(20).normal(size=(16, 7)).astype(np.float32)
+        xi[:, :3] *= 0.6
+        xi[:, 6] *= 0.3
+        T = sim3.exp(jnp.asarray(xi))
+        back = np.asarray(sim3.log(T))
+        np.testing.assert_allclose(back, xi, atol=2e-4)
+
+    def test_reduces_to_se3_at_zero_scale(self):
+        from super_primitive_tpu.lie import sim3
+
+        xi6 = rng(21).normal(size=(8, 6)).astype(np.float32) * 0.5
+        xi7 = np.concatenate([xi6, np.zeros((8, 1), np.float32)], axis=1)
+        T_sim = np.asarray(sim3.exp(jnp.asarray(xi7)))
+        T_se = np.asarray(se3.exp(jnp.asarray(xi6)))
+        np.testing.assert_allclose(T_sim, T_se, atol=1e-5)
+
+    def test_scale_and_inverse(self):
+        from super_primitive_tpu.lie import sim3
+
+        xi = jnp.asarray([0.2, -0.1, 0.3, 0.5, -0.2, 0.1, 0.4])
+        T = sim3.exp(xi)
+        np.testing.assert_allclose(float(sim3.scale_of(T)), np.exp(0.4), rtol=1e-5)
+        prod = np.asarray(T @ sim3.inverse(T))
+        np.testing.assert_allclose(prod, np.eye(4), atol=1e-5)

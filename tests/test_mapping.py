@@ -169,3 +169,25 @@ class TestGNMapping:
         adam_losses = np.asarray(adam_res.losses)
         adam_final = adam_losses[int(adam_res.num_iters) - 1]
         assert float(res.final_cost) <= adam_final * 1.2
+
+
+class TestSuppRefinementGN:
+    def test_reduces_cost_and_matches_adam_quality(self, window_setup):
+        buf, _, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "supp")
+        i = 2
+        ld_gn, costs = mapper.run_supp_refinement_gn(
+            buf, jnp.asarray(i),
+            jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
+            False, geo_dims,
+        )
+        assert float(costs[1]) < float(costs[0])
+        # Adam-10 path for comparison
+        ld_adam, losses = mapper.run_supp_refinement(
+            buf, jnp.asarray(i),
+            jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
+            jnp.asarray(1e-2), jnp.asarray(10), False, geo_dims,
+        )
+        adam_final = float(np.asarray(losses)[9])
+        assert float(costs[1]) <= adam_final * 1.1, (float(costs[1]), adam_final)
