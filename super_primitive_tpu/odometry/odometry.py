@@ -32,6 +32,34 @@ from ..ops.scatter import render_depth
 from . import depth_init, io, kf_criteria, mapper, tracker, window
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("geo_dims",))
+def _gating_metrics(buffers, kf_slot, pose, geo_dims):
+    """One-dispatch keyframe gating (odometery.py:986-1016): render the last
+    KF's points at ``pose``, return (validity_ratio, median-depth-scaled
+    translation diff, median scale) as three scalars — avoids downloading
+    the depth map just to gate."""
+    from ..geometry import projection
+
+    i = kf_slot
+    bundle = buffers.bundle_at(i)
+    delta = jnp.matmul(
+        se3.inverse(pose), buffers.poses[i], precision=jax.lax.Precision.HIGHEST
+    )
+    logd = ph.spread_logdepth(bundle, buffers.kp_logdepth[i], buffers.kp_base[i])
+    pts = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[i])
+    pts = projection.transform(pts, delta)
+    depth, _ = render_depth(pts, buffers.K[i], geo_dims, valid=bundle.valid)
+    valid = depth > 1e-6
+    validity_ratio = jnp.mean(valid.astype(jnp.float32))
+    diff, scale = kf_criteria.translation_difference(
+        pose, buffers.poses[i], depth
+    )
+    return validity_ratio, diff, scale
+
+
 class Frontend(Protocol):
     def process_to_kf(self, image: np.ndarray, K: np.ndarray) -> dict: ...
     def process_to_supp_kf(self, image: np.ndarray, K: np.ndarray) -> dict: ...
@@ -75,6 +103,10 @@ class Odometry:
         self.frame_timestamps: dict[str, float] = {}
 
         self._kf_pyramid_cache = None  # (kf_ts, list of level images)
+
+        from ..utils.timing import StageTimer
+
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------- helpers
     @staticmethod
@@ -206,6 +238,8 @@ class Odometry:
 
     def track_frame(self, frame: dict, timestamp: str) -> dict:
         t0 = time.time()
+        timer_ctx = self.timer.stage("track")
+        timer_ctx.__enter__()
         supp = self.frontend.process_to_supp_kf(frame["image"], frame["intrinsics"])
         trg_image = jnp.asarray(supp["image"])
         trg_pyr = pyr.image_pyramid(
@@ -251,6 +285,7 @@ class Odometry:
             TrackedFrame(timestamp, trg_image, T_frame_np, self.current_aff.copy())
         )
         self.global_track_trajectory[timestamp] = T_frame_np
+        timer_ctx.__exit__(None, None, None)
         loss = float(losses[-1][-1]) if losses else float("nan")
         print(
             f"tracking time {time.time()-t0:.3f} sec, tracking loss = {loss:.4f}",
@@ -292,6 +327,8 @@ class Odometry:
     def mapping(self, num_iters: int, mode: str = "map"):
         assert mode in ("init", "map", "supp")
         t0 = time.time()
+        timer_ctx = self.timer.stage(f"mapping_{mode}")
+        timer_ctx.__enter__()
         if mode == "init":
             self.buffers = window.clear_supporting(self.buffers)
             self.tracked = []
@@ -334,6 +371,7 @@ class Odometry:
             self.host_kfs[i].kp_logdepth = lds[i, :n_i]
             self._update_track_pose(mode)
             self.initialised = True
+            timer_ctx.__exit__(None, None, None)
             return
         if map_cfg.solver == "gn":
             from ..solve.gn_mapping import gn_mapping
@@ -386,6 +424,7 @@ class Odometry:
             self.global_kf_trajectory[self.host_kfs[i].timestamp] = poses[i]
 
         self._update_track_pose(mode)
+        timer_ctx.__exit__(None, None, None)
         if mode != "supp":
             print(
                 f"Mapping[{mode}] time {time.time()-t0:.3f} sec "
@@ -419,22 +458,19 @@ class Odometry:
         if int(timestamp) - start_id == num_init and not self.initialised:
             return True, None
 
-        est = self.estimate_depth_latest_kf(self.current_track)
-        valid = est > 1e-6
-        validity_ratio = valid.sum() / valid.size
-        diff, scale = kf_criteria.translation_difference(
-            jnp.asarray(self.current_track),
-            jnp.asarray(self.host_kfs[-1].pose),
-            jnp.asarray(est),
-        )
+        validity_ratio, diff, scale = map(float, _gating_metrics(
+            self.buffers, jnp.asarray(self.num_kfs - 1),
+            jnp.asarray(self.current_track, jnp.float32),
+            tuple(self._geo_dims()),
+        ))
         is_kf = False
         if validity_ratio < self.config.kf.depth_validity_ratio:
             is_kf = True
             print(f"new kf: low depth validity ratio {validity_ratio:.3f}")
-        if float(diff) > self.config.kf.translation_thresh:
+        if diff > self.config.kf.translation_thresh:
             is_kf = True
-            print(f"new kf: large pose diff {float(diff):.3f}")
-        return is_kf, float(scale)
+            print(f"new kf: large pose diff {diff:.3f}")
+        return is_kf, scale
 
     # -------------------------------------------------- checkpoint / resume
     def save_state(self, tag: Optional[str] = None):
@@ -578,4 +614,5 @@ class Odometry:
         )
         if self.config.save_every > 0:
             self.save_state()
+        print("\n[timing]\n" + self.timer.report(), flush=True)
         return self.global_kf_trajectory
