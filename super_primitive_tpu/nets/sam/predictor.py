@@ -91,28 +91,45 @@ class SamPredictor:
         self._features = self._encode(self.params, x[None])
 
     # ------------------------------------------------------------- predict
-    def predict_batched_points(self, points_input_frame: np.ndarray):
+    def predict_batched_points(
+        self, points_input_frame: np.ndarray, chunk: int = 64
+    ):
         """Single positive point per prompt, batched.
 
         ``points_input_frame`` (B, 2) in (x, y) pixels of the RESIZED input
         frame (the reference converts its normalized keypoints to this frame
         itself, sam_tools.py:30-33).
 
-        Returns (masks (B, 3, H_orig, W_orig) float logits, iou (B, 3)).
+        Prompts run in fixed-size chunks (padded to ``chunk``) so full-res
+        logits never exceed chunk x 3 x H x W on device — 300 prompts at
+        960x1280 would otherwise materialize 4.4 GB.
+
+        Returns (masks (B, 3, H_orig, W_orig) float logits (numpy), iou).
         """
         assert self._features is not None, "call set_image first"
-        pts = jnp.asarray(points_input_frame, jnp.float32)[:, None, :]
-        # pad point (SAM appends one when no box): label -1
-        pts = jnp.concatenate([pts, jnp.zeros_like(pts)], axis=1)
-        labels = jnp.concatenate(
-            [jnp.ones((pts.shape[0], 1)), -jnp.ones((pts.shape[0], 1))], axis=1
-        )
-        masks, iou = self._decode(self.params, self._features, pts, labels)
-        # multimask: drop mask 0 (sam_tools uses multimask_output=True)
-        masks = masks[:, 1:]
-        iou = iou[:, 1:]
-        masks = self.postprocess_masks(masks)
-        return masks, iou
+        pts_all = np.asarray(points_input_frame, np.float32)
+        B = pts_all.shape[0]
+        out_masks = []
+        out_iou = []
+        for lo in range(0, B, chunk):
+            part = pts_all[lo : lo + chunk]
+            n = part.shape[0]
+            if n < chunk:  # pad to the static chunk size
+                part = np.concatenate(
+                    [part, np.zeros((chunk - n, 2), np.float32)], axis=0
+                )
+            pts = jnp.asarray(part)[:, None, :]
+            # pad point (SAM appends one when no box): label -1
+            pts = jnp.concatenate([pts, jnp.zeros_like(pts)], axis=1)
+            labels = jnp.concatenate(
+                [jnp.ones((chunk, 1)), -jnp.ones((chunk, 1))], axis=1
+            )
+            masks, iou = self._decode(self.params, self._features, pts, labels)
+            # multimask: drop mask 0 (sam_tools uses multimask_output=True)
+            masks = self.postprocess_masks(masks[:, 1:])
+            out_masks.append(np.asarray(masks[:n]))
+            out_iou.append(np.asarray(iou[:n, 1:]))
+        return np.concatenate(out_masks), np.concatenate(out_iou)
 
     def postprocess_masks(self, lowres_masks: jax.Array) -> jax.Array:
         """Upscale lowres logits to model res, crop padding, resize to the
