@@ -76,12 +76,20 @@ def smallest_good_mask_batch(
     iou_threshold: float = 0.0,
     stability_score_thresh: float = 0.90,
     select_smallest: bool = True,
+    stability: np.ndarray | None = None,
+    areas: np.ndarray | None = None,
 ):
     """Reference smallest_good_mask_batch (mask_generation.py:13-95).
 
     select_smallest: keep keypoints with >= 1 good candidate and pick their
     smallest good binarized mask; otherwise flatten all candidates and filter
     per-candidate.
+
+    ``stability``/``areas`` (B, 3): precomputed full-resolution statistics
+    from the device fast path (nets/sam/predictor.predict_points_with_stats);
+    ``mask_logits`` may then be pre-binarized bool masks at working
+    resolution.
+
     Returns dict(masks bool (M, H, W), iou_preds (M,), keypoints_ids (M,),
     boxes (M, 4)).
     """
@@ -97,14 +105,25 @@ def smallest_good_mask_batch(
                 mask_logits[keep_kp], iou_pred[keep_kp], good[keep_kp], kp_ids[keep_kp]
             )
         if stability_score_thresh > 0:
-            stab = calculate_stability_score(mask_logits, MASK_THRESH, STABILITY_OFFSET)
+            if stability is not None:
+                stab = stability[kp_ids]
+            else:
+                stab = calculate_stability_score(
+                    mask_logits, MASK_THRESH, STABILITY_OFFSET
+                )
             good &= stab >= stability_score_thresh
             keep_kp = good.any(axis=1)
             mask_logits, iou_pred, good, kp_ids = (
                 mask_logits[keep_kp], iou_pred[keep_kp], good[keep_kp], kp_ids[keep_kp]
             )
-        masks_bin = mask_logits > MASK_THRESH
-        sizes = masks_bin.sum(axis=(-2, -1)).astype(np.float64)
+        if mask_logits.dtype == bool:
+            masks_bin = mask_logits
+        else:
+            masks_bin = mask_logits > MASK_THRESH
+        if areas is not None:
+            sizes = areas[kp_ids].astype(np.float64)
+        else:
+            sizes = masks_bin.sum(axis=(-2, -1)).astype(np.float64)
         sizes[~good] = 1e6
         pick = sizes.argmin(axis=1)
         ar = np.arange(masks_bin.shape[0])
@@ -122,10 +141,16 @@ def smallest_good_mask_batch(
         if iou_threshold > 0:
             keep &= flat_iou > iou_threshold
         if stability_score_thresh > 0:
-            stab = calculate_stability_score(flat_logits, MASK_THRESH, STABILITY_OFFSET)
+            if stability is not None:
+                stab = stability.reshape(-1)
+            else:
+                stab = calculate_stability_score(
+                    flat_logits, MASK_THRESH, STABILITY_OFFSET
+                )
             keep &= stab >= stability_score_thresh
+        kept = flat_logits[keep]
         result = {
-            "masks": flat_logits[keep] > MASK_THRESH,
+            "masks": kept if kept.dtype == bool else kept > MASK_THRESH,
             "iou_preds": flat_iou[keep],
             "keypoints_ids": flat_kp[keep],
         }
@@ -204,12 +229,18 @@ def infer_masks(
         keypoints = (rng.random((num_pts, 2)) * 2 - 1).astype(np.float32)
 
     def run_round(kps):
-        logits, iou = predict_fn(image, kps)
+        out = predict_fn(image, kps)
+        stability = areas = None
+        if len(out) == 4:  # device fast path with precomputed statistics
+            logits, iou, stability, areas = out
+        else:
+            logits, iou = out
         sel = smallest_good_mask_batch(
             np.asarray(logits), np.asarray(iou),
             iou_threshold=sam_params.iou_threshold,
             stability_score_thresh=sam_params.stability_threshold,
             select_smallest=sam_params.select_smallest,
+            stability=stability, areas=areas,
         )
         kps_f = kps[sel["keypoints_ids"]]
         if sam_params.nms:
@@ -225,7 +256,11 @@ def infer_masks(
         return sel, kps_f
 
     sel, kps_f = run_round(keypoints)
-    coverage = sel["masks"].any(axis=0) if len(sel["masks"]) else np.zeros((H, W), bool)
+    if len(sel["masks"]):
+        H, W = sel["masks"].shape[-2:]  # mask working resolution
+        coverage = sel["masks"].any(axis=0)
+    else:
+        coverage = np.zeros((H, W), bool)
 
     num_added = 0
     if num_pts_active > 0:

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..image.gradients import scharr_gradients
-from ..ops.connected_components import label_components
+from ..ops.connected_components import label_components, label_components_chunked
 
 
 def max_pool2d_same(x: jax.Array, k: int) -> jax.Array:
@@ -69,7 +69,7 @@ def split_disconnected_segments(
         )
     )
     split_masks = regions & ~disc
-    labels = np.asarray(label_components(jnp.asarray(split_masks)))
+    labels = label_components_chunked(split_masks)
 
     out_masks, out_logdepth, out_kp = [], [], []
     for i in range(N):

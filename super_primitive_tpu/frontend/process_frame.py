@@ -245,20 +245,15 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
         )
 
     def mask_predict_fn(image_uint8, kps_norm):
+        """Fast path: binary masks at ~1/4 SAM resolution plus device-side
+        full-resolution stability/area statistics — avoids shipping
+        full-res float logits to the host (~500x less transfer)."""
         predictor.set_image(image_uint8)
-        H, W = image_uint8.shape[:2]
-        from .mask_generation import MASK_THRESH  # noqa: F401
-
-        h2, w2 = (
-            predictor._input_hw
-            if predictor._input_hw is not None
-            else (predictor.target_length, predictor.target_length)
-        )
+        h2, w2 = predictor._input_hw
         # keypoints normalized (row, col) -> input-frame (x, y) pixels
         dims = np.asarray([h2, w2], np.float32)
         rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
         xy = np.round(rc[:, ::-1])
-        masks, iou = predictor.predict_batched_points(xy)
-        return np.asarray(masks), np.asarray(iou)
+        return predictor.predict_points_with_stats(xy, out_size=256)
 
     return FrontProcessor(config, normals_fn, mask_predict_fn)

@@ -69,8 +69,49 @@ class SamPredictor:
             )
             return masks, iou
 
+        @functools.partial(jax.jit, static_argnames=("out_size",))
+        def _decode_stats(params, features, points, labels, input_hw, out_size):
+            """Decode + device-side mask statistics.
+
+            Stability score and pixel areas are computed at the model's full
+            resolution (amg semantics, padding masked out); BINARY masks come
+            back on a square ``out_size`` grid the caller crops by the input
+            aspect — the host transfer is bool at working resolution instead
+            of float logits at full resolution (~500x smaller).
+            """
+            lowres, iou = _decode(params, features, points, labels)
+            lowres = lowres[:, 1:]
+            iou = iou[:, 1:]
+            B, M = lowres.shape[:2]
+            x = lowres.reshape(B * M, *lowres.shape[2:])[..., None]
+            x = jax.image.resize(
+                x, (B * M, self.target_length, self.target_length, 1), "bilinear"
+            )[..., 0]
+            # statistics over the input region only (padding masked)
+            row_ok = jnp.arange(self.target_length) < input_hw[0]
+            col_ok = jnp.arange(self.target_length) < input_hw[1]
+            region = row_ok[:, None] & col_ok[None, :]
+            hi = jnp.sum((x > (MASK_THRESHOLD + 1.0)) & region, axis=(1, 2))
+            lo = jnp.sum((x > (MASK_THRESHOLD - 1.0)) & region, axis=(1, 2))
+            stability = hi / jnp.maximum(lo, 1)
+            areas = jnp.sum((x > MASK_THRESHOLD) & region, axis=(1, 2))
+            masks_bin = (
+                jax.image.resize(
+                    jnp.where(region, x, -1e4)[..., None],
+                    (B * M, out_size, out_size, 1), "bilinear",
+                )[..., 0]
+                > MASK_THRESHOLD
+            )
+            return (
+                masks_bin.reshape(B, M, out_size, out_size),
+                iou,
+                stability.reshape(B, M),
+                areas.reshape(B, M),
+            )
+
         self._encode = _encode
         self._decode = _decode
+        self._decode_stats = _decode_stats
 
     # -------------------------------------------------------------- image
     def set_image(self, image_hwc_uint8: np.ndarray):
@@ -130,6 +171,51 @@ class SamPredictor:
             out_masks.append(np.asarray(masks[:n]))
             out_iou.append(np.asarray(iou[:n, 1:]))
         return np.concatenate(out_masks), np.concatenate(out_iou)
+
+    def predict_points_with_stats(
+        self,
+        points_input_frame: np.ndarray,
+        out_size: int = 256,
+        chunk: int = 128,
+    ):
+        """Device-side selection statistics variant (fast path).
+
+        Returns (masks_bool (B, 3, h, w), iou (B, 3), stability (B, 3),
+        areas (B, 3)) with (h, w) = the input aspect at ``out_size`` scale.
+        Stability/areas are full-resolution quantities computed on device;
+        only the small boolean masks cross the host boundary.
+        """
+        assert self._features is not None, "call set_image first"
+        h2, w2 = self._input_hw
+        hs = int(round(h2 * out_size / self.target_length))
+        ws = int(round(w2 * out_size / self.target_length))
+        pts_all = np.asarray(points_input_frame, np.float32)
+        B = pts_all.shape[0]
+        out = {"masks": [], "iou": [], "stab": [], "area": []}
+        input_hw = jnp.asarray([h2, w2])
+        for lo in range(0, B, chunk):
+            part = pts_all[lo : lo + chunk]
+            n = part.shape[0]
+            if n < chunk:
+                part = np.concatenate(
+                    [part, np.zeros((chunk - n, 2), np.float32)], axis=0
+                )
+            pts = jnp.asarray(part)[:, None, :]
+            pts = jnp.concatenate([pts, jnp.zeros_like(pts)], axis=1)
+            labels = jnp.concatenate(
+                [jnp.ones((chunk, 1)), -jnp.ones((chunk, 1))], axis=1
+            )
+            masks, iou, stab, area = self._decode_stats(
+                self.params, self._features, pts, labels, input_hw, out_size
+            )
+            out["masks"].append(np.asarray(masks[:n, :, :hs, :ws]))
+            out["iou"].append(np.asarray(iou[:n]))
+            out["stab"].append(np.asarray(stab[:n]))
+            out["area"].append(np.asarray(area[:n]))
+        return (
+            np.concatenate(out["masks"]), np.concatenate(out["iou"]),
+            np.concatenate(out["stab"]), np.concatenate(out["area"]),
+        )
 
     def postprocess_masks(self, lowres_masks: jax.Array) -> jax.Array:
         """Upscale lowres logits to model res, crop padding, resize to the

@@ -84,6 +84,28 @@ def label_components(masks: jax.Array) -> jax.Array:
     return jnp.where(masks, labels, -1)
 
 
+def label_components_chunked(masks, chunk: int = 64):
+    """Host-chunked labeling: segments are independent, and the axon TPU
+    worker faults on very large batches (N=400 at 240x320 crashes it; N<=64
+    is safe).  Pads the last chunk to keep one compiled shape."""
+    import jax.numpy as jnp
+
+    masks = np.asarray(masks)
+    N = masks.shape[0]
+    if N <= chunk:
+        return np.asarray(label_components(jnp.asarray(masks)))
+    out = np.empty(masks.shape, np.int32)
+    for lo in range(0, N, chunk):
+        part = masks[lo : lo + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.zeros((chunk - n,) + masks.shape[1:], masks.dtype)]
+            )
+        out[lo : lo + n] = np.asarray(label_components(jnp.asarray(part)))[:n]
+    return out
+
+
 def relabel_consecutive_np(labels: np.ndarray) -> tuple[np.ndarray, int]:
     """Renumber one (H, W) label image to consecutive 0..K-1 over unique
     labels (background -1 included as a label, matching the reference's

@@ -155,3 +155,16 @@ class TestTrajectory:
         np.testing.assert_allclose(res["rot"], np.eye(3), atol=1e-8)
         np.testing.assert_allclose(res["s"], 1.0, atol=1e-8)
         assert res["trans_error"].max() < 1e-8
+
+
+class TestChunkedCC:
+    def test_chunked_matches_single(self):
+        from super_primitive_tpu.ops.connected_components import (
+            label_components_chunked,
+        )
+
+        r = np.random.default_rng(7)
+        masks = r.uniform(size=(10, 20, 26)) > 0.5
+        full = np.asarray(label_components(jnp.asarray(masks)))
+        chunked = label_components_chunked(masks, chunk=3)
+        np.testing.assert_array_equal(full, chunked)
