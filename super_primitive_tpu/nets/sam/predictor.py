@@ -115,7 +115,16 @@ class SamPredictor:
 
     # -------------------------------------------------------------- image
     def set_image(self, image_hwc_uint8: np.ndarray):
-        """Resize longest side, normalize, pad to square, encode."""
+        """Resize longest side, normalize, pad to square, encode.
+
+        Re-encoding is skipped when the same array object is set twice in a
+        row (mask generation runs two prompt rounds on one image)."""
+        if (
+            self._features is not None
+            and getattr(self, "_last_image_id", None) == id(image_hwc_uint8)
+        ):
+            return
+        self._last_image_id = id(image_hwc_uint8)
         H, W = image_hwc_uint8.shape[:2]
         self._orig_hw = (H, W)
         h2, w2 = get_preprocess_shape(H, W, self.target_length)
