@@ -75,3 +75,59 @@ class TestSamPredictorPipeline:
         assert out["masks"].dtype == bool
         assert out["keypoints"].shape[0] == out["masks"].shape[0]
         assert out["edges"].shape == image.shape[:2]
+
+
+class TestStatsPathConsistency:
+    def test_stats_match_logits_path(self, tiny_predictor):
+        """The device fast path (predict_points_with_stats) must agree with
+        the reference-style logits path on masks, stability and areas."""
+        import numpy as np
+
+        from super_primitive_tpu.frontend.mask_generation import (
+            calculate_stability_score,
+        )
+
+        r = np.random.default_rng(5)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+        tiny_predictor.set_image(image)
+        pts = np.asarray([[10.0, 20.0], [40.0, 30.0], [25.0, 12.0]])
+
+        logits, iou_a = tiny_predictor.predict_batched_points(pts)
+        masks_b, iou_b, stab_b, area_b = tiny_predictor.predict_points_with_stats(
+            pts, out_size=tiny_predictor.target_length
+        )
+        np.testing.assert_allclose(iou_a, iou_b, atol=1e-5)
+        # areas live on different grids (stats: model input region h2 x w2;
+        # logits: original image) — only the ORDERING matters downstream
+        # (smallest-mask selection); compare as fractional coverage
+        area_a = (np.asarray(logits) > 0).sum(axis=(-2, -1))
+        frac_a = area_a / (logits.shape[-2] * logits.shape[-1])
+        h2, w2 = tiny_predictor._input_hw
+        frac_b = area_b / (h2 * w2)
+        rel = np.abs(frac_a - frac_b) / np.maximum(frac_a, 1e-9)
+        assert rel.max() < 0.15, (frac_a, frac_b)
+        # ordering preserved per keypoint
+        np.testing.assert_array_equal(
+            np.argsort(area_a, axis=1), np.argsort(area_b, axis=1)
+        )
+        stab_a = calculate_stability_score(np.asarray(logits), 0.0, 1.0)
+        np.testing.assert_allclose(stab_a, stab_b, atol=0.15)
+        # binary masks agree (both at original-aspect resolution here)
+        m_a = np.asarray(logits) > 0
+        import cv2
+
+        agree = []
+        for i in range(m_a.shape[0]):
+            for j in range(3):
+                mb = cv2.resize(
+                    masks_b[i, j].astype(np.uint8),
+                    (m_a.shape[3], m_a.shape[2]),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
+                inter = (m_a[i, j] & mb).sum()
+                union = max((m_a[i, j] | mb).sum(), 1)
+                agree.append(inter / union)
+        # random-weight logits are speckle; binarize-then-resize vs
+        # resize-then-binarize disagree at speckle boundaries. Real masks
+        # are smooth blobs (agreement ~1); 0.7 guards gross mismatches.
+        assert np.mean(agree) > 0.7, np.mean(agree)
