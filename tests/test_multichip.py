@@ -76,3 +76,39 @@ class TestShardedMapping:
 
     def test_mesh_shape(self, mesh):
         assert dict(mesh.shape) == {"dp": 2, "sp": 4}
+
+
+class TestDriverContract:
+    def test_dryrun_multichip_clean_subprocess(self):
+        """The driver's exact invocation: a fresh process with NO conftest
+        help and NO XLA flags — dryrun_multichip(8) must self-bootstrap a
+        virtual 8-device CPU mesh and exit 0."""
+        import os
+        import subprocess
+        import sys
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "_SP_TPU_DRYRUN_BOOTSTRAPPED")
+        }
+        # Simulate the driver environment: single-device platform selected,
+        # no forced host device count.  (CPU here to keep tests hermetic; on
+        # the driver's axon platform the same < n check triggers bootstrap.)
+        env["JAX_PLATFORMS"] = "cpu"
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "from __graft_entry__ import dryrun_multichip; "
+            "dryrun_multichip(8)" % repo_root
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "dryrun_multichip OK" in proc.stdout, proc.stdout
