@@ -15,8 +15,15 @@
 //     - blocks until image idx is decoded; copies into out (row-major,
 //       channels interleaved, native endian for 16-bit); returns 0 on
 //       success, required byte count if cap too small, -1 on decode error.
+//     - a capacity miss KEEPS the decoded image cached: retrying with a
+//       buffer of the returned size copies without re-decoding.
 //     - getting idx schedules prefetch of [idx+1, idx+lookahead].
 //   sp_loader_close(handle)
+//
+// Concurrency contract: each index has a SINGLE consumer. A successful get
+// consumes the cached image; two threads blocking on the same index would
+// leave the loser waiting for a re-decode it never scheduled. The Python
+// wrapper (native_loader.py) calls from one consumer thread, honoring this.
 
 #include <condition_variable>
 #include <cstdint>
@@ -58,7 +65,16 @@ Image decode_png(const std::string& path) {
   if (!fp) return img;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return img;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(fp);
+    return img;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -158,8 +174,12 @@ class Loader {
     for (auto& t : workers_) t.join();
   }
 
-  // blocks until idx decoded; moves result out of the cache
-  Image get(int idx) {
+  // Blocks until idx is decoded, then copies it into out under the lock.
+  // Returns 0 on success (consumes the cache entry), the required byte
+  // count when capacity is too small (entry stays cached for a retry), or
+  // -1 on decode failure. Single consumer per index (see file header).
+  long get_into(int idx, unsigned char* out, long capacity, int* height,
+                int* width, int* channels, int* bytes_per_channel) {
     {
       // mark as awaited BEFORE scheduling so the eviction loop never drops it
       std::lock_guard<std::mutex> lk(mu_);
@@ -168,12 +188,25 @@ class Loader {
     schedule_range(idx, idx + lookahead_);
     std::unique_lock<std::mutex> lk(mu_);
     cv_done_.wait(lk, [&] { return done_.count(idx) > 0; });
-    Image img = std::move(done_[idx]);
+    Image& img = done_[idx];
+    if (!img.ok) {
+      done_.erase(idx);
+      scheduled_.erase(idx);
+      waiting_.erase(idx);
+      return -1;
+    }
+    *height = img.height;
+    *width = img.width;
+    *channels = img.channels;
+    *bytes_per_channel = img.bytes_per_channel;
+    long need = (long)img.data.size();
+    if (need > capacity) return need;  // stays cached (and awaited) for retry
+    memcpy(out, img.data.data(), need);
     done_.erase(idx);
     // allow future re-requests of this index to reschedule the decode
     scheduled_.erase(idx);
     waiting_.erase(idx);
-    return img;
+    return 0;
   }
 
  private:
@@ -245,16 +278,8 @@ long sp_loader_get(void* handle, int idx, unsigned char* out, long capacity,
                    int* height, int* width, int* channels,
                    int* bytes_per_channel) {
   Loader* loader = (Loader*)handle;
-  Image img = loader->get(idx);
-  if (!img.ok) return -1;
-  long need = (long)img.data.size();
-  *height = img.height;
-  *width = img.width;
-  *channels = img.channels;
-  *bytes_per_channel = img.bytes_per_channel;
-  if (need > capacity) return need;
-  memcpy(out, img.data.data(), need);
-  return 0;
+  return loader->get_into(idx, out, capacity, height, width, channels,
+                          bytes_per_channel);
 }
 
 void sp_loader_close(void* handle) { delete (Loader*)handle; }

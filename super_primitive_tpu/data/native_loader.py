@@ -37,9 +37,13 @@ def get_lib():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and _build_lib() is None:
-            _lib = False
-            return _lib
+        # Always invoke make: it no-ops when the .so is newer than
+        # loader.cpp, and rebuilds stale binaries after source changes.
+        if _build_lib() is None:
+            if not os.path.exists(_LIB_PATH):
+                _lib = False
+                return _lib
+            print("[native_loader] using existing libsp_loader.so")
         lib = ctypes.CDLL(_LIB_PATH)
         lib.sp_loader_open.restype = ctypes.c_void_p
         lib.sp_loader_open.argtypes = [

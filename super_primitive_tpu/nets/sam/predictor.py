@@ -121,10 +121,12 @@ class SamPredictor:
         row (mask generation runs two prompt rounds on one image)."""
         if (
             self._features is not None
-            and getattr(self, "_last_image_id", None) == id(image_hwc_uint8)
+            and getattr(self, "_last_image", None) is image_hwc_uint8
         ):
             return
-        self._last_image_id = id(image_hwc_uint8)
+        # strong reference keeps the array alive, so the identity check can't
+        # alias a recycled id() of a garbage-collected previous image
+        self._last_image = image_hwc_uint8
         H, W = image_hwc_uint8.shape[:2]
         self._orig_hw = (H, W)
         h2, w2 = get_preprocess_shape(H, W, self.target_length)
