@@ -91,6 +91,13 @@ class Odometry:
         self.seg_cap = None
         self.point_cap = None
 
+        # host mirror of buffers.supp_valid — every supp mutation is
+        # host-driven, so connectivity construction never fetches the device
+        # array (one relay round-trip per frame saved)
+        self.supp_valid_host: Optional[np.ndarray] = None
+        self._last_gate: Optional[tuple] = None  # fused-step gating metrics
+        self._host_ld_dirty = False
+
         self.tracked: list[TrackedFrame] = []
         self.current_track: Optional[np.ndarray] = None
         self.current_aff = np.zeros(2, np.float32)
@@ -164,6 +171,9 @@ class Odometry:
                 self.window_size, self.supp_cap, image.shape[:2],
                 image.shape[2], self.seg_cap, self.point_cap,
             )
+            self.supp_valid_host = np.zeros(
+                (self.window_size, self.supp_cap), bool
+            )
 
         # depth init (odometery.py:124-196)
         if self.num_kfs < 2:
@@ -204,9 +214,13 @@ class Odometry:
         # window roll (odometery.py:184-194)
         if self.num_kfs == self.window_size:
             if self.config.dump_kfs:
+                self._sync_host_logdepth()
                 io.dump_kf(self.config.save_path + "/curr_kfs", self.host_kfs[0])
             self.host_kfs.pop(0)
             self.buffers = window.roll_window(self.buffers)
+            self.supp_valid_host = np.concatenate(
+                [self.supp_valid_host[1:], np.zeros_like(self.supp_valid_host[:1])]
+            )
             self.num_kfs -= 1
 
         slot = self.num_kfs
@@ -218,6 +232,7 @@ class Odometry:
             np.asarray(bundle.base_logdepth), np.asarray(bundle.valid),
             int(bundle.num_valid), kp_base,
         )
+        self.supp_valid_host[slot] = False
         self.host_kfs.append(host_kf)
         self.num_kfs += 1
         self.global_kf_trajectory[timestamp] = np.asarray(pose)
@@ -293,12 +308,100 @@ class Odometry:
         )
         return {"pose": T_frame_np, "affine": self.current_aff, "ts": timestamp}
 
+    # ------------------------------------------------- fused per-frame step
+    def _fused_enabled(self) -> bool:
+        """One-dispatch steady-state frames: GN track + GN supp refinement
+        (the performance path).  Other solver configs use the unfused
+        parity path."""
+        cfg = self.config.alignment
+        return (
+            self.initialised
+            and cfg.track.solver == "gn"
+            and cfg.mapping.solver == "gn"
+            and self.num_kfs >= 1
+        )
+
+    def fused_frame(self, frame: dict, timestamp: str) -> dict:
+        """track + supp-slot refresh + supp refinement + gating in ONE
+        device dispatch (odometry/fused_step.py).  Host transfers: image
+        upload, dispatch, one packed fetch."""
+        from .fused_step import fused_frame_step
+
+        t0 = time.time()
+        with self.timer.stage("fused_frame"):
+            supp = self.frontend.process_to_supp_kf(
+                frame["image"], frame["intrinsics"]
+            )
+            trg_image = jnp.asarray(supp["image"])
+            i = self.num_kfs - 1
+            track_cfg = self.config.alignment.track
+            levels = tuple(
+                lv for lv, n in enumerate(track_cfg.steps) if n > 0
+            )
+            prev = self.tracked[-1] if self.tracked else None
+            prev_valid = prev is not None
+            # connectivity for supp refinement, from the post-update mirror
+            self.supp_valid_host[i] = False
+            self.supp_valid_host[i, 0] = True
+            self.supp_valid_host[i, 1] = prev_valid
+            slots = mapper.build_slots(
+                self.num_kfs, self.window_size, self.supp_valid_host, "supp"
+            )
+            do_supp = self.config.alignment.mapping.continual_steps > 0
+
+            zero_img = prev.image if prev_valid else trg_image
+            new_buffers, packed, ld_row = fused_frame_step(
+                self.buffers, jnp.asarray(i), trg_image,
+                jnp.asarray(self.current_track, jnp.float32),
+                jnp.asarray(self.current_aff, jnp.float32),
+                zero_img,
+                jnp.asarray(prev.pose if prev_valid else np.eye(4), jnp.float32),
+                jnp.asarray(prev.affine if prev_valid else np.zeros(2), jnp.float32),
+                jnp.asarray(prev_valid),
+                jnp.asarray(slots.trg_index[i]), jnp.asarray(slots.trg_valid[i]),
+                tuple(self._geo_dims()), levels,
+                track_cfg.pyramid_min, track_cfg.pyramid_max,
+                max_iters=track_cfg.gn_max_iters,
+                use_affine=bool(self.affine_compensation),
+                do_supp=do_supp,
+            )
+            out = np.asarray(packed)  # single fetch: pose+affine+gating
+            self.buffers = new_buffers
+            self._host_ld_dirty = True
+
+        T_frame = out[:16].reshape(4, 4).astype(np.float32)
+        affine = out[16:18].astype(np.float32)
+        self._last_gate = (float(out[18]), float(out[19]), float(out[20]))
+        self.current_track = T_frame
+        self.current_aff = affine
+        self.current_ts = timestamp
+        self.tracked.append(TrackedFrame(timestamp, trg_image, T_frame, affine.copy()))
+        self.global_track_trajectory[timestamp] = T_frame
+        print(
+            f"tracking time {time.time()-t0:.3f} sec (fused), "
+            f"tracking loss = {float(out[21]):.4f}",
+            flush=True,
+        )
+        return {"pose": T_frame, "affine": affine, "ts": timestamp}
+
+    def _sync_host_logdepth(self):
+        """Refresh host_kfs' kp_logdepth copies after fused updates (lazy:
+        only checkpoint/dump paths need host values)."""
+        if not self._host_ld_dirty:
+            return
+        lds = np.asarray(self.buffers.kp_logdepth)
+        for i in range(self.num_kfs):
+            n_i = self.host_kfs[i].kp_logdepth.shape[0]
+            self.host_kfs[i].kp_logdepth = lds[i, :n_i]
+        self._host_ld_dirty = False
+
     # ------------------------------------------------------------- mapping
     def _refresh_latest_supp_from_tracked(self):
         """tracked_poses_to_supp (odometery.py:1272-1290): last two tracked
         frames become the newest KF's supporting slots."""
         i = self.num_kfs - 1
         self.buffers = window.clear_supporting(self.buffers, i)
+        self.supp_valid_host[i] = False
         n = len(self.tracked)
         ids = sorted({k for k in (n - 1, n - 2) if 0 <= k < n})
         for j, k in enumerate(ids):
@@ -306,6 +409,7 @@ class Odometry:
             self.buffers = window.set_supporting_slot(
                 self.buffers, i, j, tf.image, tf.pose, tf.affine
             )
+            self.supp_valid_host[i, j] = True
         self._latest_supp_count = len(ids)
 
     def _flush_tracked_to_prev_kf(self):
@@ -318,25 +422,30 @@ class Odometry:
         ids = [i for i in ids if 0 <= i < n]
         i = self.num_kfs - 1
         self.buffers = window.clear_supporting(self.buffers, i)
+        self.supp_valid_host[i] = False
         for j, k in enumerate(ids[: self.supp_cap]):
             tf = self.tracked[k]
             self.buffers = window.set_supporting_slot(
                 self.buffers, i, j, tf.image, tf.pose, tf.affine
             )
+            self.supp_valid_host[i, j] = True
 
     def mapping(self, num_iters: int, mode: str = "map"):
         assert mode in ("init", "map", "supp")
+        if mode != "supp":
+            self._last_gate = None  # poses change; fused gating is stale
         t0 = time.time()
         timer_ctx = self.timer.stage(f"mapping_{mode}")
         timer_ctx.__enter__()
         if mode == "init":
             self.buffers = window.clear_supporting(self.buffers)
+            self.supp_valid_host[:] = False
             self.tracked = []
         else:
             if self.initialised:
                 self._refresh_latest_supp_from_tracked()
 
-        supp_valid = np.asarray(self.buffers.supp_valid)
+        supp_valid = self.supp_valid_host
         slots = mapper.build_slots(self.num_kfs, self.window_size, supp_valid, mode)
         masks = mapper.build_masks(
             self.num_kfs, self.window_size, supp_valid, mode,
@@ -438,7 +547,7 @@ class Odometry:
         pose — the latest supporting frame if newer than the last KF."""
         latest_kf_ts = int(self.host_kfs[-1].timestamp)
         i = self.num_kfs - 1
-        supp_valid = np.asarray(self.buffers.supp_valid[i])
+        supp_valid = self.supp_valid_host[i]
         if self.tracked and supp_valid.any() and int(self.tracked[-1].timestamp) > latest_kf_ts:
             j = int(supp_valid.nonzero()[0][-1])
             self.current_track = np.asarray(self.buffers.supp_poses[i, j])
@@ -458,11 +567,15 @@ class Odometry:
         if int(timestamp) - start_id == num_init and not self.initialised:
             return True, None
 
-        validity_ratio, diff, scale = map(float, _gating_metrics(
-            self.buffers, jnp.asarray(self.num_kfs - 1),
-            jnp.asarray(self.current_track, jnp.float32),
-            tuple(self._geo_dims()),
-        ))
+        if self._last_gate is not None:
+            validity_ratio, diff, scale = self._last_gate
+            self._last_gate = None
+        else:
+            validity_ratio, diff, scale = map(float, _gating_metrics(
+                self.buffers, jnp.asarray(self.num_kfs - 1),
+                jnp.asarray(self.current_track, jnp.float32),
+                tuple(self._geo_dims()),
+            ))
         is_kf = False
         if validity_ratio < self.config.kf.depth_validity_ratio:
             is_kf = True
@@ -477,6 +590,7 @@ class Odometry:
         """Periodic checkpoint (odometery.py:1164-1204): window KFs + both
         trajectories under <save_path>/curr_kfs/<tag>/ and traj/."""
         tag = tag or (self.current_ts or "init")
+        self._sync_host_logdepth()
         kf_dir = f"{self.config.save_path}/curr_kfs/{tag}"
         for kf in self.host_kfs:
             io.dump_kf(kf_dir, kf)
@@ -533,6 +647,9 @@ class Odometry:
                     self.window_size, self.supp_cap, kf.image.shape[:2],
                     kf.image.shape[2], self.seg_cap, self.point_cap,
                 )
+                self.supp_valid_host = np.zeros(
+                    (self.window_size, self.supp_cap), bool
+                )
             bundle = build_bundle_np(
                 kf.regions, kf.logdepth_perseg, capacity=self.point_cap
             )
@@ -577,18 +694,21 @@ class Odometry:
             frame = self.dataset[frame_id]
             timestamp = self.id_to_timestamp(frame_id)
             self.frame_timestamps[timestamp] = float(frame.get("timestamp", frame_id))
-            self.track_frame(frame, timestamp)
-
-            if self.initialised and self.config.alignment.mapping.continual_steps > 0:
-                self.mapping(self.config.alignment.mapping.continual_steps, mode="supp")
+            if self._fused_enabled():
+                self.fused_frame(frame, timestamp)
+            else:
+                self.track_frame(frame, timestamp)
+                if self.initialised and self.config.alignment.mapping.continual_steps > 0:
+                    self.mapping(self.config.alignment.mapping.continual_steps, mode="supp")
 
             if self.mapping_scheduled:
                 i = self.num_kfs - 1
-                if int(np.asarray(self.buffers.supp_valid[i]).sum()) >= 2:
+                if int(self.supp_valid_host[i].sum()) >= 2:
                     self.mapping(self.config.alignment.mapping.steps, mode="map")
                     self.mapping_scheduled = False
                     self.tracked = []
                     self.buffers = window.clear_supporting(self.buffers, i)
+                    self.supp_valid_host[i] = False
 
             kf_flag, _ = self.is_kf(timestamp)
             if kf_flag:

@@ -8,19 +8,26 @@ one), poses/affines are "cameras".  The GN normal equations therefore split
     [ B^T  H ] [dtheta] = -[ g_t ],   D diagonal over all W*N segment scalars,
 
 and reduce by Schur to an M x M solve with M = B*(6+2) ~ 120 — trivial on
-device.  Jacobians come from ONE 11-column forward-mode linearization per
-(source, target) group:
+device.
 
-  - 6 columns: right perturbation of the relative pose rel' = rel exp(d);
-    the source-pose block is J_R itself and the target-pose block is
-    -J_R @ Ad(rel^-1) (from rel' = exp(-xi_t) rel exp(xi_s));
-  - 1 column: a uniform log-depth shift tangent — because each point's
-    residual depends only on its own segment scalar, the directional
-    derivative against the all-ones tangent IS the per-point partial;
-  - 4 columns: source/target affine.
+TPU-first linearization (this file's hot loop):
 
-Forward mode shares the bilinear gather across all tangent columns (no
-scatters), the same property that makes gn_track fast.
+  - Jacobians are CLOSED FORM, computed in the same pass as the residual:
+    the bilinear interpolant's derivative comes from the four gathered
+    corners (ops/sampling.bilinear_sample_grad), chained with the analytic
+    projection Jacobian du/dp, the right-perturbation pose Jacobian
+    dp/d[omega,v] = [-R [X]_x | R], and dp/dlogdepth = R X = p - t.  One
+    gather + a handful of (P, 3, k) einsums replaces an 11-column jacfwd
+    (which pushed 11 tangent buffers through every intermediate in HBM).
+  - The target-pose block reuses the source block: from
+    rel' = exp(-xi_t) rel exp(xi_s), J_t = -J_s @ Ad(rel^-1).
+  - Per-landmark reductions avoid scatters entirely: a per-source one-hot
+    (N, P) segment matmul on the MXU accumulates D, g_l and the landmark-
+    camera coupling, which stays in BLOCK form (N, 8 + 8*T_max) per source —
+    the former global (W*N, M) scatter-add was the dominant cost.
+  - The current-state cost falls out of the linearization pass for free;
+    each LM iteration therefore costs one linearize pass plus one plain
+    residual pass for the accept/reject test.
 
 Robustness matches the reference objective via IRLS-L1 weights; damping is
 classic LM with accept/reject.  Typical iteration counts: 10-30 vs the
@@ -38,9 +45,8 @@ import numpy as np
 
 from ..cost import photometric as ph
 from ..geometry import projection
-from ..keyframe import PointBundle
 from ..lie import se3, so3
-from ..ops.sampling import bilinear_sample
+from ..ops.sampling import bilinear_sample, bilinear_sample_grad
 from ..odometry.window import WindowBuffers
 
 
@@ -53,6 +59,117 @@ def adjoint(T: jax.Array) -> jax.Array:
     top = jnp.concatenate([R, Z], axis=-1)
     bottom = jnp.concatenate([so3.hat(t) @ R, R], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+_PROJ_EPS = 1e-6  # matches projection.project's z guard
+
+
+def linearize_warp(
+    X: jax.Array,            # (P, 3) source-frame points
+    src_px: jax.Array,       # (P, C>=3) source samples
+    valid_static: jax.Array, # (P,) bool — src sample & bundle validity
+    rel: jax.Array,          # (4, 4) T_target_from_source
+    K: jax.Array,            # (3, 3)
+    trg_img: jax.Array,      # (H, W, C)
+    geo_dims: tuple[int, int],
+    aff_s: jax.Array,        # (2,)
+    aff_t: jax.Array,        # (2,)
+    use_affine: bool,
+    z_valid: float = ph.Z_VALID_BATCH,
+):
+    """Residual + closed-form Jacobian of the photometric warp.
+
+    Returns (r0 (P, 3), valid (P,) float, J (P, 3, 11)) where the 11 local
+    columns are [pose tangent (6, right-perturbation of ``rel``),
+    uniform log-depth shift (1), aff_s (2), aff_t (2)] — exactly the forward
+    -mode columns of the former jacfwd formulation, verified element-wise in
+    tests/test_mapping.py::TestAnalyticJacobian.
+    """
+    Hg, Wg = geo_dims
+    R = rel[:3, :3]
+    t = rel[:3, 3]
+    p = projection.transform(X, rel)                       # (P, 3)
+    uv = projection.project(p, K)                          # (P, 2)
+    coords = ph.normalized_image_coords(uv, geo_dims)
+    px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
+    trg_ok = trg_ok & (p[..., 2] > z_valid)
+    valid = (valid_static & trg_ok).astype(px_raw.dtype)
+
+    # du/dp with the projection eps-guard (zero derivative on the guarded
+    # branch, matching AD through the where)
+    fx, fy = K[0, 0], K[1, 1]
+    z = p[..., 2]
+    ok_z = jnp.abs(z) > _PROJ_EPS
+    z_inv = jnp.where(ok_z, 1.0 / jnp.where(ok_z, z, 1.0), _PROJ_EPS)
+    dzinv = jnp.where(ok_z, -z_inv * z_inv, 0.0)
+    zero = jnp.zeros_like(z)
+    du_dp = jnp.stack(
+        [
+            jnp.stack([fx * z_inv, zero, fx * p[..., 0] * dzinv], axis=-1),
+            jnp.stack([zero, fy * z_inv, fy * p[..., 1] * dzinv], axis=-1),
+        ],
+        axis=-2,
+    )  # (P, 2, 3)
+
+    # dp/d[omega(3), v(3), logdepth(1)]: [-R [X]_x | R | R X]
+    dp_dw = -jnp.einsum(
+        "ij,pjk->pik", R, so3.hat(X), precision=jax.lax.Precision.HIGHEST
+    )  # (P, 3, 3)
+    dp_dv = jnp.broadcast_to(R, X.shape[:1] + (3, 3))
+    dp_dl = (p - t)[..., None]                             # (P, 3, 1) = R X
+    M7 = jnp.concatenate([dp_dw, dp_dv, dp_dl], axis=-1)   # (P, 3, 7)
+
+    duv_d7 = jnp.einsum(
+        "pij,pjk->pik", du_dp, M7, precision=jax.lax.Precision.HIGHEST
+    )  # (P, 2, 7)
+    # chain through coords = 2 u / (dims - 1) - 1
+    scale = jnp.asarray([2.0 / (Wg - 1), 2.0 / (Hg - 1)], px_raw.dtype)
+    dc_d7 = duv_d7 * scale[None, :, None]
+    dpx_d7 = jnp.einsum(
+        "pca,pak->pck", dI_dc, dc_d7, precision=jax.lax.Precision.HIGHEST
+    )  # (P, C, 7)
+
+    C_img = px_raw.shape[-1]
+    if use_affine:
+        a = aff_t[0] - aff_s[0]
+        ea = jnp.exp(-a)
+        px = ea * px_raw[..., :3] + (aff_t[1] - aff_s[1])
+        dpx_d7 = dpx_d7[..., :3, :] * ea
+        raw3 = px_raw[..., :3]
+        ones = jnp.ones_like(raw3)
+        # r = s - px'; columns [a_s, b_s, a_t, b_t]
+        J_aff = jnp.stack(
+            [-ea * raw3, ones, ea * raw3, -ones], axis=-1
+        )  # (P, 3, 4)
+    else:
+        px = px_raw[..., :3]
+        dpx_d7 = dpx_d7[..., :3, :]
+        J_aff = jnp.zeros(px.shape + (4,))
+
+    r0 = (src_px[..., :3] - px) * valid[..., None]
+    J = jnp.concatenate([-dpx_d7, J_aff], axis=-1) * valid[..., None, None]
+    return r0, valid, J
+
+
+def residual_warp(
+    X, src_px, valid_static, rel0, K, trg_img, geo_dims,
+    aff_s, aff_t, use_affine, local,
+    z_valid: float = ph.Z_VALID_BATCH,
+):
+    """Primal residual at an 11-dim local tangent (test oracle for the
+    analytic Jacobian; jacfwd of this equals :func:`linearize_warp`'s J)."""
+    rel = jnp.matmul(rel0, se3.exp(local[:6]), precision=jax.lax.Precision.HIGHEST)
+    # uniform logdepth shift scales X (X = exp(logd) K^-1 u~)
+    Xs = X * jnp.exp(local[6])
+    p = projection.transform(Xs, rel)
+    uv = projection.project(p, K)
+    coords = ph.normalized_image_coords(uv, geo_dims)
+    px, trg_ok = bilinear_sample(trg_img, coords)
+    trg_ok = trg_ok & (jax.lax.stop_gradient(p[..., 2]) > z_valid)
+    if use_affine:
+        px = ph.affine_compensate(px, aff_s + local[7:9], aff_t + local[9:11])
+    valid = (valid_static & trg_ok).astype(px.dtype)
+    return (src_px[..., :3] - px[..., :3]) * valid[..., None], valid
 
 
 class GNMapResult(NamedTuple):
@@ -84,22 +201,29 @@ def gn_mapping(
     B = W + W * S
     T_max = trg_index.shape[1]
     N = buffers.kp_logdepth.shape[1]
-    M = B * 8  # 6 pose + 2 affine per entity
-    C = 3      # photometric residual uses RGB channels only
+    M = B * 8      # 6 pose + 2 affine per entity
+    Kc = 8 + 8 * T_max  # per-source local columns: src params + per-slot trg
+    C = 3
 
     trg_images = buffers.image_pool()[trg_index]    # (W, T_max, H, Wd, C)
     affine0 = buffers.affine_pool()
     poses0 = buffers.pose_pool()
     src_samples = buffers.source_samples(geo_dims)
 
-    # flattened group arrays (G = W * T_max)
-    G = W * T_max
-    g_src = jnp.repeat(jnp.arange(W), T_max)            # (G,)
-    g_trg = trg_index.reshape(G)
-    g_valid = (trg_valid & src_valid[:, None]).reshape(G)
+    g_valid = trg_valid & src_valid[:, None]        # (W, T_max)
 
-    # global column index of each of the 16 local params per group
-    def col_idx(s, t):
+    par_mask = jnp.concatenate([
+        jnp.repeat(xi_mask, 6), jnp.repeat(affine_mask, 2)
+    ])  # (M,)
+    ld_w = (ld_mask * buffers.kf_valid.astype(ld_mask.dtype))[:, None] * jnp.ones(
+        (1, N)
+    )  # (W, N)
+
+    # --- column maps ------------------------------------------------------
+    # 16 local columns per (source, slot): [src pose 6 | trg pose 6 | src
+    # affine 2 | trg affine 2]; Kc per-source columns: [src pose 6 | src
+    # affine 2 | slot 0 trg pose 6 | slot 0 trg affine 2 | slot 1 ...]
+    def col16(s, t):
         return jnp.concatenate([
             6 * s + jnp.arange(6),
             6 * t + jnp.arange(6),
@@ -107,134 +231,166 @@ def gn_mapping(
             6 * B + 2 * t + jnp.arange(2),
         ])
 
-    par_mask = jnp.concatenate([
-        jnp.repeat(xi_mask, 6), jnp.repeat(affine_mask, 2)
-    ])  # (M,)
+    def cmap_of(s):
+        src_cols = jnp.concatenate([6 * s + jnp.arange(6), 6 * B + 2 * s + jnp.arange(2)])
+        trg_cols = jax.vmap(
+            lambda t: jnp.concatenate([6 * t + jnp.arange(6), 6 * B + 2 * t + jnp.arange(2)])
+        )(trg_index[s]).reshape(-1)
+        return jnp.concatenate([src_cols, trg_cols])  # (Kc,)
 
-    ld_mask_flat = jnp.repeat(ld_mask * buffers.kf_valid.astype(ld_mask.dtype), N)
+    cmap = jax.vmap(cmap_of)(jnp.arange(W))           # (W, Kc)
 
-    def residual_group(gi, poses, kp_logdepth, affine, local):
-        """Residuals of group gi at local tangent ``local`` (11,)."""
-        s = g_src[gi]
-        t = g_trg[gi]
-        rel0 = jnp.matmul(
-            se3.inverse(poses[t]), poses[s], precision=jax.lax.Precision.HIGHEST
-        )
-        rel = jnp.matmul(rel0, se3.exp(local[:6]), precision=jax.lax.Precision.HIGHEST)
-        bundle = buffers.bundle_at(s)
-        logd = ph.spread_logdepth(bundle, kp_logdepth[s], buffers.kp_base[s]) + local[6]
-        pts = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
-        pts_t = projection.transform(pts, rel)
-        uv_t = projection.project(pts_t, buffers.K[s])
-        coords = ph.normalized_image_coords(uv_t, geo_dims)
-        trg_px, trg_ok = bilinear_sample(trg_images.reshape((G,) + trg_images.shape[2:])[gi], coords)
-        trg_ok = trg_ok & (jax.lax.stop_gradient(pts_t[..., 2]) > ph.Z_VALID_BATCH)
-        if use_affine:
-            trg_px = ph.affine_compensate(
-                trg_px, affine[s] + local[7:9], affine[t] + local[9:11]
+    # -------------------------------------------------- cost (primal only)
+    def eval_cost(poses, kp_logdepth, affine):
+        def per_src(s):
+            bundle = buffers.bundle_at(s)
+            src = ph.SourceSamples(
+                pixels=src_samples.pixels[s], valid=src_samples.valid[s]
             )
-        valid = (
-            src_samples.valid[s] & trg_ok & bundle.valid
-        ).astype(trg_px.dtype)
-        # colour mode: RGB channels only (cost_utils.py:4-8)
-        r = (src_samples.pixels[s][..., :3] - trg_px[..., :3]) * valid[..., None]
-        return r, valid
-
-    def group_cost(gi, poses, kp_logdepth, affine):
-        r, valid = residual_group(gi, poses, kp_logdepth, affine, jnp.zeros(11))
-        nv = jnp.maximum(buffers.num_valid[g_src[gi]], 1)
-        return jnp.sum(jnp.abs(r)) / (C * nv)
-
-    def total_cost(poses, kp_logdepth, affine):
-        costs = jax.vmap(
-            lambda gi: group_cost(gi, poses, kp_logdepth, affine)
-        )(jnp.arange(G))
-        per_src = (costs * g_valid).reshape(W, T_max)
-        cnt = jnp.maximum(trg_valid.sum(axis=1), 1)
-        return jnp.sum(per_src.sum(axis=1) / cnt * src_valid)
-
-    def assemble(poses, kp_logdepth, affine):
-        """Per-source scan with the T_max target slots vmapped — 5 wide steps
-        instead of 30 narrow ones keeps the VPU fed."""
-        H = jnp.zeros((M, M))
-        g_t = jnp.zeros(M)
-        D = jnp.zeros(W * N)
-        Bm = jnp.zeros((W * N, M))
-        g_l = jnp.zeros(W * N)
-
-        def one_slot(gi, poses, kp_logdepth, affine):
-            s = g_src[gi]
-            t = g_trg[gi]
-            rel0 = jnp.matmul(
-                se3.inverse(poses[t]), poses[s],
+            idx = trg_index[s]
+            rel = jnp.matmul(
+                se3.inverse(poses[idx]), poses[s],
                 precision=jax.lax.Precision.HIGHEST,
             )
-            r0, valid = residual_group(gi, poses, kp_logdepth, affine, jnp.zeros(11))
-            Jg = jax.jacfwd(
-                lambda loc: residual_group(gi, poses, kp_logdepth, affine, loc)[0]
-            )(jnp.zeros(11))  # (P, C, 11)
-
-            Ad_inv = adjoint(se3.inverse(rel0))
-            J_s = Jg[..., :6]
-            J_t = -jnp.einsum(
-                "pci,ij->pcj", J_s, Ad_inv, precision=jax.lax.Precision.HIGHEST
+            res = ph.photometric_cost_batch(
+                bundle, src, trg_images[s], buffers.K[s], geo_dims,
+                kp_logdepth[s], buffers.kp_base[s], rel,
+                affine=(affine[s], affine[idx]) if use_affine else None,
             )
-            L = jnp.concatenate([J_s, J_t, Jg[..., 7:11]], axis=-1)  # (P, C, 16)
-            ix = col_idx(s, t)
-            L = L * par_mask[ix][None, None, :]
-            j_l = Jg[..., 6]                                          # (P, C)
+            v = trg_valid[s].astype(res.dtype)
+            return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
 
-            gv = g_valid[gi].astype(r0.dtype)
-            w = gv * valid[..., None] / jnp.maximum(jnp.abs(r0), 1e-3)
-            nv = jnp.maximum(buffers.num_valid[s], 1).astype(r0.dtype)
-            cnt = jnp.maximum(trg_valid[s].sum(), 1).astype(r0.dtype)
-            w = w / (C * nv * cnt)  # match the per-src mean normalization
+        per = jax.vmap(per_src)(jnp.arange(W))
+        return jnp.sum(per * src_valid.astype(per.dtype))
 
-            Lw = L * w[..., None]
-            H_loc = jnp.einsum("pci,pcj->ij", Lw, L, precision=jax.lax.Precision.HIGHEST)
-            g_loc = jnp.einsum("pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST)
-            d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
-            b_pt = jnp.einsum("pci,pc->pi", Lw, j_l)        # (P, 16)
-            gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
-            return H_loc, g_loc, d_pt, b_pt, gl_pt, ix
+    # ------------------------------------------------------------ assemble
+    def assemble(poses, kp_logdepth, affine):
+        """One linearization pass: scan over sources, vmap over target
+        slots; landmark reductions via one-hot segment matmuls (no
+        scatters on the point axis)."""
 
         def per_src(carry, s):
-            H, g_t, D, Bm, g_l = carry
-            gis = s * T_max + jnp.arange(T_max)
-            H_loc, g_loc, d_pt, b_pt, gl_pt, ix = jax.vmap(
-                one_slot, in_axes=(0, None, None, None)
-            )(gis, poses, kp_logdepth, affine)
-            # slot-level landmark terms share the source's segment rows
-            seg_rows = s * N + buffers.seg_id[s]            # (P,)
-            D = D.at[seg_rows].add(jnp.sum(d_pt, axis=0))
-            g_l = g_l.at[seg_rows].add(jnp.sum(gl_pt, axis=0))
-            for j in range(T_max):
-                Bm = Bm.at[seg_rows[:, None], ix[j][None, :]].add(b_pt[j])
-                H = H.at[ix[j][:, None], ix[j][None, :]].add(H_loc[j])
-                g_t = g_t.at[ix[j]].add(g_loc[j])
-            return (H, g_t, D, Bm, g_l), None
+            H_acc, g_acc, cost_acc = carry
+            bundle = buffers.bundle_at(s)
+            logd = ph.spread_logdepth(bundle, kp_logdepth[s], buffers.kp_base[s])
+            X = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
+            src_px = src_samples.pixels[s]
+            vstat = src_samples.valid[s] & bundle.valid
+            nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
+            cnt = jnp.maximum(trg_valid[s].sum(), 1).astype(jnp.float32)
 
-        (H, g_t, D, Bm, g_l), _ = jax.lax.scan(
-            per_src, (H, g_t, D, Bm, g_l), jnp.arange(W)
+            def one_slot(t, gv, img, aff_t):
+                rel0 = jnp.matmul(
+                    se3.inverse(poses[t]), poses[s],
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                r0, valid, J = linearize_warp(
+                    X, src_px, vstat, rel0, buffers.K[s], img, geo_dims,
+                    affine[s], aff_t, use_affine,
+                )
+                # target-pose block from the source block
+                Ad_inv = adjoint(se3.inverse(rel0))
+                J_s = J[..., :6]
+                J_t = -jnp.einsum(
+                    "pci,ij->pcj", J_s, Ad_inv,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                L = jnp.concatenate([J_s, J_t, J[..., 7:11]], axis=-1)
+                ix = col16(s, t)
+                L = L * par_mask[ix][None, None, :]
+                j_l = J[..., 6]
+
+                gvf = gv.astype(r0.dtype)
+                w = gvf * valid[..., None] / jnp.maximum(jnp.abs(r0), 1e-3)
+                w = w / (C * nv * cnt)  # per-src mean normalization
+                Lw = L * w[..., None]
+                H_loc = jnp.einsum(
+                    "pci,pcj->ij", Lw, L, precision=jax.lax.Precision.HIGHEST
+                )
+                g_loc = jnp.einsum(
+                    "pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST
+                )
+                d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
+                b_pt = jnp.einsum("pci,pc->pi", Lw, j_l)        # (P, 16)
+                gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
+                cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
+                return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot
+
+            H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot = jax.vmap(one_slot)(
+                trg_index[s], g_valid[s], trg_images[s], affine[trg_index[s]]
+            )
+
+            # landmark reduction: one-hot segment matmul on the MXU
+            onehot = (
+                jnp.arange(N)[:, None] == bundle.seg_id[None, :]
+            ).astype(jnp.float32)                               # (N, P)
+            payload = jnp.concatenate(
+                [d_pt[..., None], gl_pt[..., None], b_pt], axis=-1
+            )                                                    # (T, P, 18)
+            seg = jnp.einsum(
+                "np,tpk->tnk", onehot, payload,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                    # (T, N, 18)
+            D_s = jnp.sum(seg[..., 0], axis=0)                   # (N,)
+            gl_s = jnp.sum(seg[..., 1], axis=0)                  # (N,)
+            bseg = seg[..., 2:]                                  # (T, N, 16)
+            b_src = jnp.sum(
+                jnp.concatenate([bseg[..., 0:6], bseg[..., 12:14]], axis=-1),
+                axis=0,
+            )                                                    # (N, 8)
+            b_trg = jnp.concatenate(
+                [bseg[..., 6:12], bseg[..., 14:16]], axis=-1
+            )                                                    # (T, N, 8)
+            Bs = jnp.concatenate(
+                [b_src, jnp.moveaxis(b_trg, 0, 1).reshape(N, T_max * 8)],
+                axis=-1,
+            )                                                    # (N, Kc)
+
+            # camera-camera block + gradient (tiny scatters: 16x16 per slot)
+            def add_slot(acc, j):
+                H_a, g_a = acc
+                H_a = H_a.at[ix[j][:, None], ix[j][None, :]].add(H_loc[j])
+                g_a = g_a.at[ix[j]].add(g_loc[j])
+                return (H_a, g_a), None
+
+            (H_acc, g_acc), _ = jax.lax.scan(
+                add_slot, (H_acc, g_acc), jnp.arange(T_max)
+            )
+            cost_acc = cost_acc + jnp.sum(cost_slot) / cnt * src_valid[s].astype(
+                cost_slot.dtype
+            )
+            return (H_acc, g_acc, cost_acc), (D_s, gl_s, Bs)
+
+        (H, g_t, cost_cur), (D, gl, Bs) = jax.lax.scan(
+            per_src,
+            (jnp.zeros((M, M)), jnp.zeros(M), jnp.zeros(())),
+            jnp.arange(W),
         )
-        return H, g_t, D, Bm, g_l
+        return H, g_t, D, gl, Bs, cost_cur
 
-    def solve_step(H, g_t, D, Bm, g_l, lam):
-        # LM damping + frozen handling
-        D_d = D * (1.0 + lam) + 1e-10
-        D_d = jnp.where(ld_mask_flat > 0, D_d, 1.0)
-        g_l_m = g_l * ld_mask_flat
-        Bm_m = Bm * ld_mask_flat[:, None]
+    # ---------------------------------------------------------- block Schur
+    def solve_step(H, g_t, D, gl, Bs, lam):
+        D_d = jnp.where(ld_w > 0, D * (1.0 + lam) + 1e-10, 1.0)     # (W, N)
+        D_inv = 1.0 / D_d
+        gl_m = gl * ld_w
+        Bs_m = Bs * ld_w[..., None]                                 # (W, N, Kc)
 
         H_d = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(M)
         H_d = H_d + jnp.diag(jnp.where(par_mask > 0, 0.0, 1.0))
-        D_inv = 1.0 / D_d
-        H_red = H_d - jnp.einsum(
-            "li,l,lj->ij", Bm_m, D_inv, Bm_m, precision=jax.lax.Precision.HIGHEST
-        )
-        g_red = g_t * par_mask - Bm_m.T @ (D_inv * g_l_m)
+
+        corr = jnp.einsum(
+            "wnk,wn,wnl->wkl", Bs_m, D_inv, Bs_m,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                           # (W, Kc, Kc)
+        H_red = H_d - jnp.zeros((M, M)).at[
+            cmap[:, :, None], cmap[:, None, :]
+        ].add(corr)
+        gc = jnp.einsum("wnk,wn->wk", Bs_m, D_inv * gl_m)
+        g_red = g_t * par_mask - jnp.zeros(M).at[cmap].add(gc)
         d_theta = -jnp.linalg.solve(H_red, g_red) * par_mask
-        d_l = -(D_inv * (g_l_m + Bm_m @ d_theta)) * ld_mask_flat
+        d_l = -(
+            D_inv * (gl_m + jnp.einsum("wnk,wk->wn", Bs_m, d_theta[cmap]))
+        ) * ld_w
         return d_theta, d_l
 
     kf_of = jnp.concatenate([jnp.arange(W), jnp.repeat(jnp.arange(W), S)])
@@ -248,20 +404,16 @@ def gn_mapping(
         )
         d_aff = d_theta[6 * B :].reshape(B, 2)
         poses_new = jax.vmap(se3.retract)(poses, d_xi)
-        return (
-            poses_new,
-            kp_logdepth + d_l.reshape(W, N),
-            affine + d_aff,
-        )
+        return poses_new, kp_logdepth + d_l, affine + d_aff
 
-    cost0 = total_cost(poses0, buffers.kp_logdepth, affine0)
+    cost0 = eval_cost(poses0, buffers.kp_logdepth, affine0)
 
     def body(state):
         poses, ld, aff, lam, it, cost, done = state
-        H, g_t, D, Bm, g_l = assemble(poses, ld, aff)
-        d_theta, d_l = solve_step(H, g_t, D, Bm, g_l, lam)
+        H, g_t, D, gl, Bs, _ = assemble(poses, ld, aff)
+        d_theta, d_l = solve_step(H, g_t, D, gl, Bs, lam)
         poses_n, ld_n, aff_n = apply_update(poses, ld, aff, d_theta, d_l)
-        cost_n = total_cost(poses_n, ld_n, aff_n)
+        cost_n = eval_cost(poses_n, ld_n, aff_n)
         improved = cost_n < cost
         poses = jnp.where(improved, poses_n, poses)
         ld = jnp.where(improved, ld_n, ld)

@@ -9,7 +9,12 @@ from super_primitive_tpu.frontend.stub import GridSegmentFrontend
 from super_primitive_tpu.keyframe import build_bundle_np
 from super_primitive_tpu.lie import se3
 from super_primitive_tpu.odometry import mapper, window
-from super_primitive_tpu.solve.gn_mapping import adjoint, gn_mapping
+from super_primitive_tpu.solve.gn_mapping import (
+    adjoint,
+    gn_mapping,
+    linearize_warp,
+    residual_warp,
+)
 
 from test_odometry import PlaneSequence, pose_err
 
@@ -136,6 +141,62 @@ class TestAdjoint:
         lhs = se3.exp(adjoint(T) @ xi)
         rhs = T @ se3.exp(xi) @ se3.inverse(T)
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+
+
+class TestAnalyticJacobian:
+    """The closed-form warp Jacobian must equal forward-mode AD of the
+    primal residual, column for column (pose 6, logdepth 1, affine 4)."""
+
+    @pytest.mark.parametrize("use_affine", [False, True])
+    def test_matches_jacfwd(self, use_affine):
+        import jax
+
+        r = np.random.default_rng(3)
+        P, H, W = 257, 24, 32
+        geo_dims = (H, W)
+        K = jnp.asarray(
+            [[1.1 * W, 0, W / 2], [0, 1.1 * W, H / 2], [0, 0, 1.0]], jnp.float32
+        )
+        X = jnp.asarray(
+            np.stack(
+                [
+                    r.uniform(-0.4, 0.4, P),
+                    r.uniform(-0.3, 0.3, P),
+                    r.uniform(0.5, 2.0, P),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        # include a near-zero-depth point to exercise the projection guard
+        X = X.at[0, 2].set(1e-8)
+        src_px = jnp.asarray(r.uniform(0, 1, (P, 3)).astype(np.float32))
+        vstat = jnp.asarray(r.uniform(size=P) > 0.1)
+        rel = jnp.asarray(
+            np.asarray(
+                se3.exp(jnp.asarray(0.05 * r.normal(size=6).astype(np.float32)))
+            )
+        )
+        img = jnp.asarray(r.uniform(0, 1, (H, W, 3)).astype(np.float32))
+        aff_s = jnp.asarray([0.05, -0.02], jnp.float32)
+        aff_t = jnp.asarray([-0.03, 0.04], jnp.float32)
+
+        r0, valid, J = linearize_warp(
+            X, src_px, vstat, rel, K, img, geo_dims, aff_s, aff_t, use_affine
+        )
+        r0_ref, _ = residual_warp(
+            X, src_px, vstat, rel, K, img, geo_dims, aff_s, aff_t, use_affine,
+            jnp.zeros(11),
+        )
+        J_ref = jax.jacfwd(
+            lambda loc: residual_warp(
+                X, src_px, vstat, rel, K, img, geo_dims, aff_s, aff_t,
+                use_affine, loc,
+            )[0]
+        )(jnp.zeros(11))
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r0_ref), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(J), np.asarray(J_ref), atol=2e-4, rtol=1e-4
+        )
 
 
 class TestGNMapping:

@@ -99,6 +99,60 @@ def odom_result(tmp_path_factory):
     return ds, odom, traj
 
 
+@pytest.fixture(scope="module")
+def odom_result_gn(tmp_path_factory):
+    """Same sequence through the GN performance path: fused one-dispatch
+    frames (odometry/fused_step.py) + GN window mapping."""
+    ds = PlaneSequence(n_frames=12)
+    cfg = load_config({
+        "save_path": str(tmp_path_factory.mktemp("odom_gn")),
+        "window_size": 3,
+        "aligment": {
+            "mono_init": False,
+            "affine_compensation": False,
+            "opt_supporting": True,
+            "init_frames": 3,
+            "mapping": {"supp_every_n": 3, "init_steps": 60,
+                        "steps": 40, "continual_steps": 5,
+                        "solver": "gn", "gn_max_iters": 15},
+            "track": {"lr": 5e-3, "pyramid_min": 0, "pyramid_max": 2,
+                      "steps": [0, 250], "solver": "gn", "gn_max_iters": 15},
+        },
+        "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.10},
+    })
+    frontend = GridSegmentFrontend(rows=4, cols=5)
+    odom = Odometry(cfg, frontend, ds)
+    traj = odom.run()
+    return ds, odom, traj
+
+
+class TestOdometryGNFused:
+    def test_fused_path_ran(self, odom_result_gn):
+        _, odom, _ = odom_result_gn
+        assert odom.timer.counts.get("fused_frame", 0) > 0
+        # steady state issues no separate track/supp-mapping dispatches
+        assert odom.timer.counts.get("mapping_supp", 0) == 0
+
+    def test_tracking_accuracy(self, odom_result_gn):
+        ds, odom, traj = odom_result_gn
+        errs = [
+            pose_err(T, ds.poses[int(ts)])
+            for ts, T in odom.global_track_trajectory.items()
+        ]
+        assert np.median(np.asarray(errs)) < 0.05, errs
+
+    def test_kf_trajectory_accuracy(self, odom_result_gn):
+        ds, odom, traj = odom_result_gn
+        errs = [pose_err(T, ds.poses[int(ts)]) for ts, T in traj.items()]
+        assert np.median(np.asarray(errs)) < 0.05, errs
+
+    def test_supp_valid_mirror_consistent(self, odom_result_gn):
+        _, odom, _ = odom_result_gn
+        np.testing.assert_array_equal(
+            odom.supp_valid_host, np.asarray(odom.buffers.supp_valid)
+        )
+
+
 class TestOdometry:
     def test_runs_and_tracks(self, odom_result):
         ds, odom, traj = odom_result
