@@ -1,25 +1,45 @@
 """Benchmark: per-keyframe optimization throughput at TUM odom_desk scale.
 
 Workload mirrors the reference's tracking hot loop (odometery.py:323-448,
-config/tum/odom_desk.yaml): 300 retraction-Adam iterations of the dense
-photometric cost (pose delta + affine) against one target frame, geometry at
-240x320 with ~300 segments (~full-image point coverage), image 240x320.
-The whole 300-iteration loop runs as a single on-device lax.scan.
+config/tum/odom_desk.yaml): the dense photometric cost (pose delta + affine)
+against one target frame, geometry at 240x320 with ~300 segments (~full-image
+point coverage), 76.8k bundle points.
 
-Baseline: the reference publishes no numbers (BASELINE.md); its tracking
+Primary metric: GN/LM tracking latency per keyframe (the performance path;
+accuracy-equivalent to the reference's 300-iteration Adam loop per
+tests/test_gauss_newton.py).  Reported three ways:
+
+  - ``value`` (track_keyframe_ms): one dispatch, wall clock, includes host
+    ->device dispatch overhead (on this container, an axon relay RTT of
+    ~30 ms; on a directly-attached TPU host this constant shrinks to <1 ms);
+  - ``device_ms``: marginal per-solve device time, measured by running the
+    identical solve k times inside ONE dispatch (lax.scan) and differencing
+    against the single-solve dispatch — relay/dispatch constants cancel;
+  - ``dispatch_ms``: round-trip of a trivial jitted program (pure overhead).
+
+FLOPs come from XLA's own cost analysis of the compiled tracking program;
+``gflops_per_s`` = flops / device_ms.
+
+Baseline: the reference publishes no numbers (BASELINE.md).  Its tracking
 loop on an RTX 4090 is a torch Adam loop with ~20 kernel launches + autograd
-per iteration over ~77k points.  We pin a nominal 300 iter/s (≈1 s per
-tracked frame) as the documented estimate until the reference is profiled;
-``vs_baseline`` is ours / 300.
+per iteration over ~77k points; ``baseline_ms`` = 1000 is a documented
+ESTIMATE (see ``baseline_note`` in the JSON) until the reference is profiled.
+``vs_baseline`` is baseline_ms / value.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary stderr lines: Adam-parity tracking throughput, GN/LM windowed
+mapping (full solve + per-LM-iteration), supp refinement.
+
+Prints ONE JSON line on stdout.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+K_REP = 8  # repeats inside one dispatch for the device-time measurement
 
 
 def main():
@@ -78,7 +98,26 @@ def main():
     src = ph.precompute_source(src_img, bundle, geo_dims)
     T0 = se3.exp(jnp.asarray(0.01 * r.normal(size=(1, 6)).astype(np.float32)))
 
-    # tracking: optimize pose delta + affine, logdepth frozen
+    # warmup/compile.  NOTE: under the axon TPU relay, block_until_ready
+    # does not reliably block for all graphs (verified empirically); fetching
+    # a scalar to host forces completion, so all timings materialize one.
+    def sync(x):
+        return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+    # --- dispatch overhead: trivial jitted program round-trip -------------
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    sync(trivial(jnp.zeros(())))
+    rtt = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        sync(trivial(jnp.zeros(())))
+        rtt.append(time.perf_counter() - t0)
+    dispatch_ms = 1000 * min(rtt)
+
+    # --- Adam-parity tracking (secondary) ----------------------------------
     optimizer = make_optimizer(lr_depth=0.0, lr_pose=3e-3, lr_affine=5e-3)
 
     def loss_fn(poses, kp_ld, affine):
@@ -103,48 +142,35 @@ def main():
         )
         return p, optimizer.init(p)
 
-    # warmup/compile.  NOTE: under the axon TPU relay, block_until_ready
-    # does not reliably block for all graphs (verified empirically); fetching
-    # a scalar to host forces completion, so all timings materialize one.
-    def sync(x):
-        return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
-
     p, s = fresh()
-    out = track(p, s)
-    sync(out)
-
+    sync(track(p, s))
     times = []
     for _ in range(3):
         p, s = fresh()
         sync((p, s))
         t0 = time.perf_counter()
-        out = track(p, s)
-        sync(out)
+        sync(track(p, s))
         times.append(time.perf_counter() - t0)
-
-    dt = min(times)
-    iters_per_sec = NUM_ITERS / dt
-    import sys
-
+    adam_dt = min(times)
     print(
-        f"[secondary] adam_track_iters_per_sec={iters_per_sec:.1f} "
-        f"({1000 * dt:.1f} ms / {NUM_ITERS}-iter keyframe)",
+        f"[secondary] adam_track_iters_per_sec={NUM_ITERS / adam_dt:.1f} "
+        f"({1000 * adam_dt:.1f} ms / {NUM_ITERS}-iter keyframe)",
         file=sys.stderr,
     )
 
-    # --- primary: GN/LM per-keyframe tracking latency (the performance
-    # path; accuracy-equivalent to Adam-300 per tests/test_gauss_newton) ---
+    # --- primary: GN/LM per-keyframe tracking latency ----------------------
     from super_primitive_tpu.solve.gauss_newton import gn_track
 
     R0 = T0[0]
 
-    def run_gn():
+    def solve(R_init):
         return gn_track(
-            bundle, src, trg_img, Kj, kp_logdepth, kp_base, R0,
+            bundle, src, trg_img, Kj, kp_logdepth, kp_base, R_init,
             jnp.zeros(2), jnp.zeros(2), geo_dims,
             max_iters=20, use_affine=True,
         )
 
+    run_gn = jax.jit(lambda: solve(R0).final_cost)
     sync(run_gn())  # compile
     gn_times = []
     for _ in range(5):
@@ -153,20 +179,113 @@ def main():
         gn_times.append(time.perf_counter() - t0)
     gn_ms = 1000 * min(gn_times)
 
-    # reference baseline: per-frame 'tracking time' print around the 300-iter
-    # Adam loop on an RTX 4090 — estimated 1000 ms (BASELINE.md: re-derive by
-    # profiling the reference; repo publishes no numbers)
-    baseline_ms = 1000.0
+    # marginal device time: the same solve K_REP times inside one dispatch.
+    # The init pose takes a numerically-negligible (1e-30) dependence on the
+    # carry so XLA cannot hoist the solve out of the scan as loop-invariant.
+    @jax.jit
+    def run_gn_k():
+        def body(c, _):
+            res = solve(R0 + 1e-30 * c)
+            return c + res.final_cost, ()
+
+        total, _ = jax.lax.scan(body, jnp.zeros(()), None, length=K_REP)
+        return total
+
+    sync(run_gn_k())  # compile
+    k_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(run_gn_k())
+        k_times.append(time.perf_counter() - t0)
+    gnk_ms = 1000 * min(k_times)
+    device_ms = max((gnk_ms - gn_ms) / (K_REP - 1), 1e-3)
+
+    # XLA's own FLOP estimate for the single-solve program
+    flops = None
+    try:
+        cost = jax.jit(lambda: solve(R0).final_cost).lower().compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    gflops_per_s = (flops / (device_ms * 1e-3) / 1e9) if flops else None
+    device_kind = jax.devices()[0].device_kind
     print(
-        json.dumps(
-            {
-                "metric": "track_keyframe_ms",
-                "value": round(gn_ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / gn_ms, 1),
-            }
-        )
+        f"[primary] gn_track: {gn_ms:.1f} ms/dispatch, {device_ms:.1f} ms device "
+        f"(k={K_REP} in-dispatch repeats), dispatch overhead {dispatch_ms:.1f} ms; "
+        f"XLA flops {flops if flops else 'n/a'} -> "
+        f"{f'{gflops_per_s:.0f} GFLOP/s' if gflops_per_s else 'n/a'} on {device_kind}",
+        file=sys.stderr,
     )
+
+    # --- GN/LM windowed mapping (VERDICT r1 #2: measured, not estimated) ---
+    mapping_ms = mapping_iter_ms = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+        from bench_mapping import build_window
+
+        from super_primitive_tpu.odometry import mapper
+        from super_primitive_tpu.solve.gn_mapping import gn_mapping
+
+        buf, map_dims = build_window()
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(buf.capacity, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            buf.capacity, buf.capacity, supp_valid, "map", buf.capacity, True, True
+        )
+        sargs = (
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+        )
+
+        def run_map():
+            return gn_mapping(
+                buf, *sargs, map_dims, max_iters=30, use_affine=True, tol=0.0,
+            )
+
+        res = run_map()
+        sync(res.final_cost)
+        iters = int(res.num_iters)
+        mtimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run_map()
+            sync(res.final_cost)
+            mtimes.append(time.perf_counter() - t0)
+        mapping_ms = 1000 * min(mtimes)
+        mapping_iter_ms = mapping_ms / max(iters, 1)
+        print(
+            f"[secondary] gn_mapping (5 KF window, 240x320, {iters} LM iters): "
+            f"{mapping_ms:.0f} ms/solve, {mapping_iter_ms:.1f} ms/LM-iter "
+            f"(cost {float(res.initial_cost):.4f} -> {float(res.final_cost):.4f})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # mapping bench must not break the primary metric
+        print(f"[secondary] gn_mapping bench skipped: {e!r}", file=sys.stderr)
+
+    baseline_ms = 1000.0
+    out = {
+        "metric": "track_keyframe_ms",
+        "value": round(gn_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / gn_ms, 1),
+        "device_ms": round(device_ms, 2),
+        "dispatch_ms": round(dispatch_ms, 2),
+        "flops": flops,
+        "gflops_per_s": round(gflops_per_s, 1) if gflops_per_s else None,
+        "device_kind": device_kind,
+        "baseline_note": (
+            "reference publishes no numbers; baseline_ms=1000 is a documented "
+            "estimate of its 300-iter Adam tracking loop on an RTX 4090 "
+            "(BASELINE.md) — not a measurement"
+        ),
+        "mapping_solve_ms": round(mapping_ms, 1) if mapping_ms else None,
+        "mapping_lm_iter_ms": round(mapping_iter_ms, 2) if mapping_iter_ms else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

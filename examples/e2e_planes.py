@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Reproducible TUM-scale end-to-end run (VERDICT r1 #6a + #9).
+
+20 synthetic frames at 480x640 (keyframes at 240x320, the TUM odom_desk
+working resolution) through the FULL production code path:
+
+  structured-fake SAM (coherent Voronoi blobs) -> REAL two-round mask
+  generation (stability/NMS/active resampling/coarse edges) -> analytic
+  scene normals -> REAL BiNI crop/full-routed integration ->
+  depth-discontinuity CC split -> GN tracking (fused one-dispatch frames) ->
+  windowed GN mapping -> Sim(3) ATE.
+
+Asserts the final ATE and prints per-stage timings.  Runs on whatever
+backend JAX picks (the real TPU chip under axon; CPU with JAX_PLATFORMS=cpu).
+
+    python examples/e2e_planes.py [--frames 20] [--ate-tol 0.05]
+
+Reference workload being mirrored: README.md:49-70 (TUM fr1 odometry) with
+frontend/process_frame.py:207-255 perception.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--ate-tol", type=float, default=0.05)
+    ap.add_argument("--small", action="store_true",
+                    help="96x128 debug scale instead of TUM scale")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container sitecustomize "
+                         "pins the axon TPU; env vars alone don't switch)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from super_primitive_tpu.config import load_config
+    from super_primitive_tpu.data.synthetic import PlanesSequence
+    from super_primitive_tpu.eval.trajectory import ate_rmse
+    from super_primitive_tpu.frontend.fakes import StructuredFakeFrontend
+    from super_primitive_tpu.odometry.odometry import Odometry
+
+    print(f"[e2e] backend: {jax.default_backend()}")
+    if args.small:
+        H, W, pow_, n_cells = 96, 128, 0, 24
+    else:
+        H, W, pow_, n_cells = 480, 640, 1, 64  # KF at 240x320 like TUM fr1
+
+    cfg = load_config({
+        "save_path": "/tmp/sp_e2e_planes",
+        "window_size": 4,
+        "frontend": {
+            "downsample_pow": pow_,
+            "num_pts": 128, "num_pts_active": 32,
+            "normals": {"integration_shape": [240, 320] if not args.small else [48, 64],
+                        "network_dim": [H, W]},
+            "cg_max_iter": 300, "cg_tol": 1e-3,
+            "check_for_depth_disc": True,
+        },
+        "sam_params": {"infer_resolution": [240, 320] if not args.small else [96, 128]},
+        "aligment": {
+            "mono_init": True,
+            "affine_compensation": False,
+            "opt_supporting": True,
+            "init_frames": 3,
+            "mapping": {"supp_every_n": 3, "init_steps": 60,
+                        "steps": 40, "continual_steps": 5,
+                        "solver": "gn", "gn_max_iters": 15},
+            "track": {"pyramid_min": 0, "pyramid_max": 3,
+                      "steps": [0, 0, 300], "solver": "gn",
+                      "gn_max_iters": 15},
+        },
+        "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.08},
+    })
+
+    ds = PlanesSequence(n_frames=args.frames, H=H, W=W)
+    fe = StructuredFakeFrontend(cfg, seed=0, n_cells=n_cells)
+    odom = Odometry(cfg, fe, ds)
+
+    t0 = time.perf_counter()
+    traj = odom.run()
+    wall = time.perf_counter() - t0
+
+    est = {ts: np.asarray(T) for ts, T in odom.global_track_trajectory.items()}
+    gt = {ts: np.asarray(ds.poses[int(float(ts))], np.float32) for ts in est}
+    ate = ate_rmse(gt, est)
+    kf_est = {ts: np.asarray(T) for ts, T in traj.items()}
+    kf_gt = {ts: np.asarray(ds.poses[int(float(ts))], np.float32) for ts in kf_est}
+    kf_ate = ate_rmse(kf_gt, kf_est) if len(kf_est) >= 3 else None
+
+    print(f"\n[e2e] {len(ds)} frames, {len(traj)} keyframes, "
+          f"{wall:.1f} s wall ({wall / max(len(ds) - 1, 1):.2f} s/frame incl. "
+          f"frontend+mapping)")
+    print(f"[e2e] Sim(3) ATE (all tracked frames): rmse={ate['rmse']:.4f} "
+          f"median={ate['median']:.4f} max={ate['max']:.4f}")
+    if kf_ate:
+        print(f"[e2e] Sim(3) ATE (keyframes): rmse={kf_ate['rmse']:.4f}")
+    print("\n[timing]\n" + odom.timer.report())
+
+    assert ate["rmse"] < args.ate_tol, (
+        f"ATE {ate['rmse']:.4f} exceeds tolerance {args.ate_tol}"
+    )
+    print(f"\n[e2e] PASS (ATE {ate['rmse']:.4f} < {args.ate_tol})")
+
+
+if __name__ == "__main__":
+    main()

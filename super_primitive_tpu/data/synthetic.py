@@ -1,0 +1,172 @@
+"""Analytic piecewise-planar synthetic scenes.
+
+Purpose (VERDICT r1 #6): the strongest checkpoint-free proxy for the real
+perception frontend.  A world of textured planes gives, for ANY camera pose,
+
+  - an exactly multi-view-consistent image (a smooth analytic 3D texture
+    field sampled at the ray-plane intersection — no warping, no
+    interpolation error accumulating across views),
+  - analytic GT depth,
+  - analytic camera-frame surface normals (what a perfect normal net would
+    predict — piecewise constant with creases/occlusions between planes).
+
+``PlanesSequence`` packages a camera trajectory through such a scene as a
+dataset with the same frame-dict protocol as data/tum.py, so the full
+odometry driver runs on it unchanged.  Occluding finite panels create true
+depth discontinuities, exercising the depth-discontinuity segment split
+(reference frontend/segment/post_processer.py:160-181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Panel:
+    """A plane n.X = d, optionally bounded (finite rectangular panel)."""
+
+    normal: np.ndarray           # (3,) unit, world frame
+    d: float                     # plane offset: normal . X = d
+    center: np.ndarray | None = None   # bounds center (None = infinite)
+    axes: np.ndarray | None = None     # (2, 3) in-plane unit axes
+    half_extents: np.ndarray | None = None  # (2,)
+
+
+def _texture3d(X: np.ndarray) -> np.ndarray:
+    """Smooth analytic 3D texture field, (..., 3) world points -> RGB [0,1].
+
+    Two octaves of incommensurate sinusoids: smooth at ~0.01-world-unit
+    pixel footprints (good bilinear-warp fidelity) but with enough gradient
+    for photometric tracking everywhere.
+    """
+    x, y, z = X[..., 0], X[..., 1], X[..., 2]
+    r = 0.5 + 0.30 * np.sin(2.1 * x + 1.3 * y) + 0.12 * np.sin(8.3 * y + 5.1 * z)
+    g = 0.5 + 0.30 * np.cos(1.7 * y - 2.3 * z) + 0.12 * np.sin(7.1 * x + 4.3 * z)
+    b = 0.5 + 0.30 * np.sin(1.9 * z + 2.7 * x) + 0.12 * np.cos(6.7 * x - 5.3 * y)
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0).astype(np.float32)
+
+
+def default_planes() -> list[Panel]:
+    """A shallow 'room corner' plus an occluding floating panel."""
+    n = lambda v: np.asarray(v, np.float64) / np.linalg.norm(v)
+    return [
+        # back wall, slightly tilted
+        Panel(normal=n([0.08, -0.05, 1.0]), d=3.2),
+        # left wall receding rightward
+        Panel(normal=n([1.0, 0.0, 0.35]), d=-1.1),
+        # floor
+        Panel(normal=n([0.0, 1.0, 0.12]), d=0.95),
+        # floating occluder in front of the back wall (true depth jump)
+        Panel(
+            normal=n([0.15, 0.1, 1.0]), d=2.0,
+            center=np.asarray([0.35, -0.25, 1.93]),
+            axes=np.stack([n([1.0, 0.0, -0.15]), n([0.0, 1.0, -0.1])]),
+            half_extents=np.asarray([0.45, 0.35]),
+        ),
+    ]
+
+
+class PlanesScene:
+    """Piecewise-planar world; renders image/depth/normals for any view."""
+
+    def __init__(self, panels: list[Panel] | None = None):
+        self.panels = panels if panels is not None else default_planes()
+
+    def render(self, T_wc: np.ndarray, K: np.ndarray, H: int, W: int) -> dict:
+        """Render from camera-to-world pose ``T_wc``.
+
+        Returns dict(image (H, W, 3) float32 [0,1], depth (H, W) float32,
+        normals (H, W, 3) float32 camera-frame, camera-facing (n.X_c < 0)).
+        """
+        T = np.asarray(T_wc, np.float64)
+        R, c = T[:3, :3], T[:3, 3]
+        Kinv = np.linalg.inv(np.asarray(K, np.float64))
+        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+        rays_c = np.stack([u, v, np.ones_like(u)], -1) @ Kinv.T  # (H, W, 3), z=1
+        rays_w = rays_c @ R.T
+
+        best_t = np.full((H, W), np.inf)
+        best_i = np.full((H, W), -1, np.int64)
+        for i, p in enumerate(self.panels):
+            denom = rays_w @ p.normal
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (p.d - p.normal @ c) / denom
+            ok = np.isfinite(t) & (t > 1e-3)
+            if p.center is not None:
+                X = c + rays_w * t[..., None]
+                rel = X - p.center
+                a0 = np.abs(rel @ p.axes[0]) <= p.half_extents[0]
+                a1 = np.abs(rel @ p.axes[1]) <= p.half_extents[1]
+                ok &= a0 & a1
+            closer = ok & (t < best_t)
+            best_t = np.where(closer, t, best_t)
+            best_i = np.where(closer, i, best_i)
+
+        hit = best_i >= 0
+        depth = np.where(hit, best_t, 0.0)  # rays have z=1: t IS the z-depth
+        X_w = c + rays_w * np.where(hit, best_t, 1.0)[..., None]
+        image = _texture3d(X_w)
+
+        normals = np.zeros((H, W, 3), np.float64)
+        for i, p in enumerate(self.panels):
+            n_c = R.T @ p.normal
+            normals[best_i == i] = n_c
+        # orient toward the camera: n . X_c < 0
+        X_c = rays_c * depth[..., None]
+        flip = np.sum(normals * X_c, axis=-1) > 0
+        normals[flip] *= -1
+        # invalid rays: fronto-parallel fallback keeps the field smooth
+        normals[~hit] = [0.0, 0.0, -1.0]
+        return {
+            "image": image.astype(np.float32),
+            "depth": depth.astype(np.float32),
+            "normals": normals.astype(np.float32),
+        }
+
+
+class PlanesSequence:
+    """Dataset protocol over a smooth trajectory through a PlanesScene.
+
+    Frames: dict(image (H, W, 3) float32 [0,1], depth, intrinsics (3, 3),
+    T (4, 4) camera-to-world, timestamp float).
+    """
+
+    def __init__(self, n_frames: int = 20, H: int = 240, W: int = 320,
+                 f: float | None = None, step: float = 0.02,
+                 scene: PlanesScene | None = None):
+        from ..lie import se3
+        import jax.numpy as jnp
+
+        self.H, self.W = H, W
+        f = f if f is not None else 1.08 * W
+        self.K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+        self.scene = scene if scene is not None else PlanesScene()
+        self.poses = []
+        for k in range(n_frames):
+            xi = np.asarray(
+                [0.003 * k, -0.002 * k, 0.0025 * k,
+                 step * k, 0.6 * step * k, -0.35 * step * k],
+                np.float32,
+            )
+            self.poses.append(np.asarray(se3.exp(jnp.asarray(xi)), np.float64))
+        self._cache: dict[int, dict] = {}
+
+    def __len__(self):
+        return len(self.poses)
+
+    def __getitem__(self, idx: int) -> dict:
+        if idx not in self._cache:
+            r = self.scene.render(self.poses[idx], self.K, self.H, self.W)
+            self._cache[idx] = {
+                "image": r["image"],
+                "depth": r["depth"],
+                "normals": r["normals"],
+                "intrinsics": self.K,
+                "T": self.poses[idx].astype(np.float32),
+                "timestamp": float(idx),
+            }
+        return self._cache[idx]

@@ -191,15 +191,16 @@ def active_sample_pos(
 
 
 def masks_to_edges(masks: np.ndarray) -> np.ndarray:
-    """Max Scharr magnitude over masks (mask_generation.py:291-303),
-    zero-padding variant (get_image_grad uses reflect=False... the reference
-    ImageGradientModule defaults to reflect=True here)."""
+    """Max Scharr magnitude over masks (mask_generation.py:291-303).
+
+    Reflect-pad Scharr/32, matching the reference's ImageGradientModule
+    default (image_processing.py:5, reflect_padding=True)."""
     import jax.numpy as jnp
 
     from ..image.gradients import scharr_gradients
 
     f = jnp.asarray(masks.astype(np.float32)).transpose(1, 2, 0)
-    gx, gy = scharr_gradients(f)
+    gx, gy = scharr_gradients(f, reflect_padding=True)
     mag = jnp.sqrt(gx**2 + gy**2)
     return np.asarray(jnp.max(mag, axis=-1))
 
@@ -207,6 +208,49 @@ def masks_to_edges(masks: np.ndarray) -> np.ndarray:
 def infer_edge_probs(masks: np.ndarray):
     edges = masks_to_edges(masks)
     return edges, np.clip(1 - 2 * edges, 0, 1)
+
+
+def nearest_resize_batch(masks: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """(N, H, W) nearest resize with torch F.interpolate(mode='nearest')
+    index semantics: src = floor(dst * H_in / H_out)."""
+    Ho, Wo = hw
+    Hi, Wi = masks.shape[-2:]
+    ri = (np.arange(Ho) * Hi) // Ho
+    ci = (np.arange(Wo) * Wi) // Wo
+    return masks[..., ri[:, None], ci[None, :]]
+
+
+def bilinear_resize_ac(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """(H, W) bilinear resize with align_corners=True (torch semantics)."""
+    Ho, Wo = hw
+    Hi, Wi = img.shape
+    ry = np.arange(Ho) * ((Hi - 1) / (Ho - 1) if Ho > 1 else 0.0)
+    rx = np.arange(Wo) * ((Wi - 1) / (Wo - 1) if Wo > 1 else 0.0)
+    y0 = np.clip(np.floor(ry).astype(np.int64), 0, Hi - 1)
+    x0 = np.clip(np.floor(rx).astype(np.int64), 0, Wi - 1)
+    y1 = np.minimum(y0 + 1, Hi - 1)
+    x1 = np.minimum(x0 + 1, Wi - 1)
+    wy = (ry - y0).astype(img.dtype if img.dtype.kind == "f" else np.float32)
+    wx = (rx - x0).astype(wy.dtype)
+    top = img[y0[:, None], x0[None, :]] * (1 - wx) + img[y0[:, None], x1[None, :]] * wx
+    bot = img[y1[:, None], x0[None, :]] * (1 - wx) + img[y1[:, None], x1[None, :]] * wx
+    return top * (1 - wy[:, None]) + bot * wy[:, None]
+
+
+def infer_edge_probs_coarse(
+    masks: np.ndarray, edge_probs_shape: tuple[int, int]
+):
+    """Coarse-edge path (reference mask_generation.py:234-252): nearest-
+    downsample masks to ``edge_probs_shape``, compute edges there, bilinearly
+    upsample (align_corners=True) back to the mask working resolution.
+
+    Returns (edges, edge_probs, edges_coarse, edge_probs_coarse)."""
+    H, W = masks.shape[-2:]
+    masks_coarse = nearest_resize_batch(masks.astype(np.float32), edge_probs_shape) > 0.5
+    edges_coarse, probs_coarse = infer_edge_probs(masks_coarse)
+    edges = bilinear_resize_ac(edges_coarse, (H, W))
+    probs = bilinear_resize_ac(probs_coarse, (H, W))
+    return edges, probs, edges_coarse, probs_coarse
 
 
 def infer_masks(
@@ -217,11 +261,17 @@ def infer_masks(
     num_pts: int = 300,
     num_pts_active: int = 100,
     rng: np.random.Generator | None = None,
+    edge_probs_shape: tuple[int, int] | None = None,
 ):
     """Full two-round mask generation (mask_generation.py:143-288).
 
     ``predict_fn(image, keypoints_norm) -> (logits (B, 3, H, W), iou (B, 3))``.
     Returns dict with masks, keypoints (normalized row-col), coverage, edges.
+
+    ``edge_probs_shape``: when set, edges are computed on masks nearest-
+    downsampled to this shape and bilinearly upsampled back (the reference's
+    coarse-edge path, mask_generation.py:234-252, wired from
+    process_frame.py:113 with the integration shape).
     """
     rng = rng or np.random.default_rng(42)
     H, W = image.shape[:2]
@@ -274,11 +324,16 @@ def infer_masks(
         }
         kps_f = np.concatenate([kps_f, kps2_f], axis=0)
 
-    edges, edge_probs = (
-        infer_edge_probs(sel["masks"])
-        if len(sel["masks"])
-        else (np.zeros((H, W), np.float32), np.ones((H, W), np.float32))
-    )
+    if not len(sel["masks"]):
+        edges = edges_coarse = np.zeros((H, W), np.float32)
+        edge_probs = edge_probs_coarse = np.ones((H, W), np.float32)
+    elif edge_probs_shape is None:
+        edges, edge_probs = infer_edge_probs(sel["masks"])
+        edges_coarse, edge_probs_coarse = edges, edge_probs
+    else:
+        edges, edge_probs, edges_coarse, edge_probs_coarse = (
+            infer_edge_probs_coarse(sel["masks"], tuple(edge_probs_shape))
+        )
 
     if sam_params.cut_masks_by_edges and len(sel["masks"]):
         valid = edge_probs > sam_params.edge_probs_threshold
@@ -303,4 +358,6 @@ def infer_masks(
         "final_coverage": final_coverage,
         "edges": edges,
         "edge_probs": edge_probs,
+        "edge_coarse": edges_coarse,
+        "edge_probs_coarse": edge_probs_coarse,
     }

@@ -102,6 +102,9 @@ class FrontProcessor:
             self.mask_predict_fn, sam_img, sam_params,
             keypoints=keypoints,
             num_pts=fc.num_pts, num_pts_active=fc.num_pts_active, rng=self.rng,
+            # coarse-edge path at the integration shape
+            # (reference process_frame.py:113 passes int_normal_shape)
+            edge_probs_shape=(Hg, Wg),
         )
         masks = gen["masks"]
         if masks.shape[0] == 0:
@@ -236,7 +239,7 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
     from ..nets.nnet import predict_normals
     from ..nets.sam.predictor import SamPredictor
 
-    predictor = SamPredictor(sam_params_tree)
+    predictor = SamPredictor(sam_params_tree, compute_dtype=jnp.bfloat16)
 
     def normals_fn(img01):
         return predict_normals(

@@ -84,17 +84,38 @@ def label_components(masks: jax.Array) -> jax.Array:
     return jnp.where(masks, labels, -1)
 
 
+def _label_components_host(masks: np.ndarray) -> np.ndarray:
+    """scipy fallback with identical label semantics (component-root linear
+    index, background -1)."""
+    from scipy import ndimage
+
+    N, H, W = masks.shape
+    out = np.full(masks.shape, -1, np.int32)
+    lin = np.arange(H * W, dtype=np.int32).reshape(H, W)
+    structure = np.asarray([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for i in range(N):
+        lab, k = ndimage.label(masks[i], structure=structure)
+        for c in range(1, k + 1):
+            comp = lab == c
+            out[i][comp] = lin[comp].min()
+    return out
+
+
 def label_components_chunked(masks, chunk: int = 64):
-    """Host-chunked labeling: segments are independent, and the axon TPU
-    worker faults on very large batches (N=400 at 240x320 crashes it; N<=64
-    is safe).  Pads the last chunk to keep one compiled shape."""
+    """Hardened host-chunked labeling.
+
+    Segments are independent; the axon TPU worker faults on very large
+    batches (N=400 at 240x320 crashes it; N<=64 is safe), so every chunk is
+    padded to ONE fixed compiled shape.  If the device path still fails (a
+    worker fault surfaces as a runtime error), the remaining chunks fall back
+    to an equivalent host scipy labeling — CC runs once per keyframe, off the
+    hot path, so correctness beats speed here."""
     import jax.numpy as jnp
 
     masks = np.asarray(masks)
     N = masks.shape[0]
-    if N <= chunk:
-        return np.asarray(label_components(jnp.asarray(masks)))
     out = np.empty(masks.shape, np.int32)
+    device_ok = True
     for lo in range(0, N, chunk):
         part = masks[lo : lo + chunk]
         n = part.shape[0]
@@ -102,7 +123,22 @@ def label_components_chunked(masks, chunk: int = 64):
             part = np.concatenate(
                 [part, np.zeros((chunk - n,) + masks.shape[1:], masks.dtype)]
             )
-        out[lo : lo + n] = np.asarray(label_components(jnp.asarray(part)))[:n]
+        if device_ok:
+            try:
+                out[lo : lo + n] = np.asarray(
+                    label_components(jnp.asarray(part))
+                )[:n]
+                continue
+            except Exception as e:  # device/worker fault: degrade, don't die
+                import sys
+
+                print(
+                    f"[connected_components] device labeling failed ({e!r}); "
+                    "falling back to host scipy for this keyframe",
+                    file=sys.stderr,
+                )
+                device_ok = False
+        out[lo : lo + n] = _label_components_host(part[:n].astype(bool))
     return out
 
 

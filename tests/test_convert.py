@@ -248,6 +248,36 @@ class TestNnetConverter:
         assert out == {"a.b": 1, "c.d": 2}
 
 
+class TestValidateCommand:
+    """The --validate path (nets/validate.py) must work day-0: Flax-side
+    validation runs on converted trees without the torch reference packages
+    (which are absent here — the cross-check tier self-skips)."""
+
+    def test_validate_sam_flax_only(self):
+        from super_primitive_tpu.nets.validate import validate_sam
+
+        cfg = VIT_TINY_TEST
+        sd = synth_sam_state_dict(cfg)
+        tree = convert.convert_sam(sd, depth=cfg.depth)
+        img = np.random.default_rng(0).integers(
+            0, 255, (48, 64, 3), np.uint8
+        )
+        result = validate_sam(tree, ckpt_path=None, image=img, cfg=cfg)
+        assert "flax_embed_std" in result and result["flax_embed_std"] > 0
+
+    def test_validate_nnet_flax_only(self):
+        from super_primitive_tpu.nets.validate import validate_nnet
+
+        sd = synth_nnet_state_dict()
+        tree = convert.convert_nnet(sd)
+        img = np.random.default_rng(1).integers(
+            0, 255, (48, 64, 3), np.uint8
+        )
+        result = validate_nnet(tree, image=img, network_dim=(64, 96))
+        assert "flax_norm_len_mean" in result
+        assert abs(result["flax_norm_len_mean"] - 1.0) < 1e-3
+
+
 class TestNumericTransforms:
     def test_dense_transform(self):
         import torch

@@ -168,3 +168,16 @@ class TestChunkedCC:
         full = np.asarray(label_components(jnp.asarray(masks)))
         chunked = label_components_chunked(masks, chunk=3)
         np.testing.assert_array_equal(full, chunked)
+
+    def test_host_fallback_matches_device(self):
+        """The scipy fallback (used when the axon worker faults on large CC
+        batches) must produce identical labels."""
+        from super_primitive_tpu.ops.connected_components import (
+            _label_components_host,
+        )
+
+        r = np.random.default_rng(11)
+        masks = r.uniform(size=(6, 24, 30)) > 0.45
+        device = np.asarray(label_components(jnp.asarray(masks)))
+        host = _label_components_host(masks)
+        np.testing.assert_array_equal(device, host)

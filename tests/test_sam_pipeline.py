@@ -77,6 +77,126 @@ class TestSamPredictorPipeline:
         assert out["edges"].shape == image.shape[:2]
 
 
+class TestPhaseUpsampleCounts:
+    def test_exact_vs_materialized_resize(self):
+        """Phase-decomposed stability/area counting must equal counting on
+        the materialized bilinear upsample (the former 1.6 GB/chunk path)."""
+        from super_primitive_tpu.nets.sam.predictor import (
+            MASK_THRESHOLD,
+            _phase_upsample_counts,
+        )
+
+        r = np.random.default_rng(9)
+        S, s = 24, 4
+        x = jnp.asarray(r.normal(size=(5, S, S)).astype(np.float32))
+        input_hw = jnp.asarray([s * S - 7, s * S - 13])
+
+        stab, area = _phase_upsample_counts(x, s, input_hw)
+
+        up = jax.image.resize(x[..., None], (5, s * S, s * S, 1), "bilinear")[..., 0]
+        row_ok = jnp.arange(s * S) < input_hw[0]
+        col_ok = jnp.arange(s * S) < input_hw[1]
+        reg = row_ok[:, None] & col_ok[None, :]
+        hi = jnp.sum((up > MASK_THRESHOLD + 1.0) & reg, axis=(1, 2))
+        lo = jnp.sum((up > MASK_THRESHOLD - 1.0) & reg, axis=(1, 2))
+        ref_stab = hi / jnp.maximum(lo, 1)
+        ref_area = jnp.sum((up > MASK_THRESHOLD) & reg, axis=(1, 2))
+
+        np.testing.assert_array_equal(np.asarray(area), np.asarray(ref_area))
+        np.testing.assert_allclose(np.asarray(stab), np.asarray(ref_stab), atol=2e-3)
+
+    def test_packbits_roundtrip(self):
+        from super_primitive_tpu.nets.sam.predictor import _packbits_lastaxis
+
+        r = np.random.default_rng(3)
+        m = r.uniform(size=(4, 3, 16, 32)) > 0.5
+        packed = np.asarray(_packbits_lastaxis(jnp.asarray(m)))
+        bits = np.unpackbits(packed, axis=-1).astype(bool)
+        np.testing.assert_array_equal(bits, m)
+
+
+class TestCoarseEdgeParity:
+    """Coarse-edge path vs a torch oracle of the reference's
+    mask_generation.py:234-252 (nearest mask downsample -> reflect-Scharr
+    edges -> bilinear align_corners=True upsample)."""
+
+    @staticmethod
+    def _torch_oracle(masks, edge_shape):
+        import torch
+        import torch.nn.functional as F
+
+        kx = (1.0 / 32.0) * torch.tensor(
+            [[-3.0, 0.0, 3.0], [-10.0, 0.0, 10.0], [-3.0, 0.0, 3.0]]
+        ).view(1, 1, 3, 3)
+        ky = kx.transpose(-1, -2).clone()
+
+        def masks_to_edges(m):
+            f = torch.as_tensor(m, dtype=torch.float32)[:, None]
+            fp = F.pad(f, (1, 1, 1, 1), mode="reflect")
+            gx = F.conv2d(fp, kx)[:, 0]
+            gy = F.conv2d(fp, ky)[:, 0]
+            return torch.sqrt(gx**2 + gy**2).max(dim=0)[0]
+
+        H, W = masks.shape[-2:]
+        mt = torch.as_tensor(masks)
+        mc = F.interpolate(
+            mt.float()[:, None], size=edge_shape, mode="nearest"
+        )[:, 0] > 0.5
+        edges_c = masks_to_edges(mc)
+        probs_c = (1 - 2 * edges_c).clip(0, 1)
+        up = lambda x: F.interpolate(
+            x[None, None], size=(H, W), mode="bilinear", align_corners=True
+        )[0, 0]
+        return (
+            up(edges_c).numpy(), up(probs_c).numpy(),
+            edges_c.numpy(), probs_c.numpy(),
+        )
+
+    def test_matches_torch_oracle(self):
+        from super_primitive_tpu.frontend.mask_generation import (
+            infer_edge_probs_coarse,
+        )
+
+        r = np.random.default_rng(3)
+        # blob-like masks at working resolution (odd sizes stress the
+        # nearest/bilinear index math)
+        H, W = 53, 71
+        masks = np.zeros((5, H, W), bool)
+        for i in range(5):
+            r0, c0 = r.integers(0, H - 12), r.integers(0, W - 16)
+            masks[i, r0 : r0 + 12, c0 : c0 + 16] = True
+        edge_shape = (27, 36)
+
+        e, p, ec, pc = infer_edge_probs_coarse(masks, edge_shape)
+        te, tp, tec, tpc = self._torch_oracle(masks, edge_shape)
+        np.testing.assert_allclose(ec, tec, atol=1e-6)
+        np.testing.assert_allclose(pc, tpc, atol=1e-6)
+        np.testing.assert_allclose(e, te, atol=1e-5)
+        np.testing.assert_allclose(p, tp, atol=1e-5)
+
+    def test_infer_masks_returns_coarse_keys(self, tiny_predictor):
+        r = np.random.default_rng(7)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+
+        def predict_fn(img, kps_norm):
+            tiny_predictor.set_image(img)
+            h2, w2 = tiny_predictor._input_hw
+            dims = np.asarray([h2, w2], np.float32)
+            rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
+            masks, iou = tiny_predictor.predict_batched_points(np.round(rc[:, ::-1]))
+            return np.asarray(masks), np.asarray(iou)
+
+        cfg = load_config({"sam_params": {
+            "stability_threshold": 0.0, "filter_edge_points": False,
+        }})
+        out = infer_masks(
+            predict_fn, image, cfg.sam_params, num_pts=6, num_pts_active=0,
+            rng=np.random.default_rng(2), edge_probs_shape=(24, 30),
+        )
+        assert out["edge_coarse"].shape == (24, 30)
+        assert out["edge_probs"].shape == image.shape[:2]
+
+
 class TestStatsPathConsistency:
     def test_stats_match_logits_path(self, tiny_predictor):
         """The device fast path (predict_points_with_stats) must agree with
