@@ -171,6 +171,7 @@ def main():
         )
 
     run_gn = jax.jit(lambda: solve(R0).final_cost)
+    gn_iters = int(jax.jit(lambda: solve(R0).num_iters)())
     sync(run_gn())  # compile
     gn_times = []
     for _ in range(5):
@@ -200,13 +201,16 @@ def main():
     gnk_ms = 1000 * min(k_times)
     device_ms = max((gnk_ms - gn_ms) / (K_REP - 1), 1e-3)
 
-    # XLA's own FLOP estimate for the single-solve program
+    # XLA's own FLOP estimate.  cost_analysis counts a while-loop body ONCE;
+    # the program is one LM loop, so total work ~= body flops x executed
+    # iterations (gn_iters, measured above).
     flops = None
     try:
         cost = jax.jit(lambda: solve(R0).final_cost).lower().compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        body = float(cost.get("flops", 0.0))
+        flops = body * max(gn_iters, 1) or None
     except Exception:
         pass
     gflops_per_s = (flops / (device_ms * 1e-3) / 1e9) if flops else None
@@ -214,8 +218,9 @@ def main():
     print(
         f"[primary] gn_track: {gn_ms:.1f} ms/dispatch, {device_ms:.1f} ms device "
         f"(k={K_REP} in-dispatch repeats), dispatch overhead {dispatch_ms:.1f} ms; "
-        f"XLA flops {flops if flops else 'n/a'} -> "
-        f"{f'{gflops_per_s:.0f} GFLOP/s' if gflops_per_s else 'n/a'} on {device_kind}",
+        f"~{flops / 1e9 if flops else 0:.1f} GFLOP over {gn_iters} LM iters -> "
+        f"{f'{gflops_per_s:.0f} GFLOP/s' if gflops_per_s else 'n/a'} on {device_kind} "
+        f"(gather/VPU-bound: the warp is memory-latency limited, not MXU FLOPs)",
         file=sys.stderr,
     )
 
@@ -275,6 +280,7 @@ def main():
         "device_ms": round(device_ms, 2),
         "dispatch_ms": round(dispatch_ms, 2),
         "flops": flops,
+        "flops_note": "XLA body flops x executed LM iterations",
         "gflops_per_s": round(gflops_per_s, 1) if gflops_per_s else None,
         "device_kind": device_kind,
         "baseline_note": (

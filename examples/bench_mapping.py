@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 
 def build_window(H=240, W_img=320, n_kf=5, n_seg=304, supp_cap=2,
                  seg_cap=480, point_cap=76800):

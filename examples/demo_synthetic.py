@@ -77,13 +77,26 @@ def main():
     trg_pyr = keyframe_pyramid(trg_kf, 0, 3)
     T_rel = np.linalg.inv(f2["T"]) @ f0["T"]
     T_init = jnp.asarray(T_rel, jnp.float32) @ se3.random(jax.random.PRNGKey(1), sigma=0.03)
-    poses, ld, losses = solve_two_frame(
-        src_pyr, [trg_pyr], T_init[None], jnp.zeros(geo.num_segments),
-        TwoFrameConfig(num_iters=300),
-    )
+    import time as _time
+
+    t0 = _time.perf_counter()
+    if args.gn:
+        from super_primitive_tpu.solve.two_frame import solve_two_frame_gn
+
+        poses, ld, losses = solve_two_frame_gn(
+            src_pyr, [trg_pyr], T_init[None], jnp.zeros(geo.num_segments),
+            max_iters=20,
+        )
+    else:
+        poses, ld, losses = solve_two_frame(
+            src_pyr, [trg_pyr], T_init[None], jnp.zeros(geo.num_segments),
+            TwoFrameConfig(num_iters=300),
+        )
     err = float(jnp.linalg.norm(se3.log(
         se3.inverse(jnp.asarray(T_rel, jnp.float32)) @ poses[0])))
-    print(f"pose error |log|: {err:.4f} (init noise sigma 0.03)")
+    print(f"pose error |log|: {err:.4f} (init noise sigma 0.03, "
+          f"{'GN' if args.gn else 'Adam'} {_time.perf_counter() - t0:.1f} s "
+          f"incl. compile)")
 
     from super_primitive_tpu.cost import photometric as ph
     logd = ph.spread_logdepth(bundle, ld, geo.keypoint_base_logdepth())

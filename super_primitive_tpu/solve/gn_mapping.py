@@ -111,22 +111,26 @@ def linearize_warp(
         axis=-2,
     )  # (P, 2, 3)
 
-    # dp/d[omega(3), v(3), logdepth(1)]: [-R [X]_x | R | R X]
-    dp_dw = -jnp.einsum(
-        "ij,pjk->pik", R, so3.hat(X), precision=jax.lax.Precision.HIGHEST
+    # dp/d[omega(3), v(3), logdepth(1)]: [-R [X]_x | R | R X].
+    # NOTE: per-point 3x3/2x3-contraction chains are written as broadcast
+    # multiply-sums, NOT einsums — a dot_general with a tiny contraction dim
+    # batched over P lowers to MXU tiles at ~2% utilization, while the
+    # broadcast form is straight VPU work that XLA fuses into the warp.
+    dp_dw = -jnp.sum(
+        R[None, :, :, None] * so3.hat(X)[:, None, :, :], axis=2
     )  # (P, 3, 3)
     dp_dv = jnp.broadcast_to(R, X.shape[:1] + (3, 3))
     dp_dl = (p - t)[..., None]                             # (P, 3, 1) = R X
     M7 = jnp.concatenate([dp_dw, dp_dv, dp_dl], axis=-1)   # (P, 3, 7)
 
-    duv_d7 = jnp.einsum(
-        "pij,pjk->pik", du_dp, M7, precision=jax.lax.Precision.HIGHEST
+    duv_d7 = jnp.sum(
+        du_dp[:, :, :, None] * M7[:, None, :, :], axis=2
     )  # (P, 2, 7)
     # chain through coords = 2 u / (dims - 1) - 1
     scale = jnp.asarray([2.0 / (Wg - 1), 2.0 / (Hg - 1)], px_raw.dtype)
     dc_d7 = duv_d7 * scale[None, :, None]
-    dpx_d7 = jnp.einsum(
-        "pca,pak->pck", dI_dc, dc_d7, precision=jax.lax.Precision.HIGHEST
+    dpx_d7 = jnp.sum(
+        dI_dc[:, :, :, None] * dc_d7[:, None, :, :], axis=2
     )  # (P, C, 7)
 
     C_img = px_raw.shape[-1]
@@ -240,29 +244,6 @@ def gn_mapping(
 
     cmap = jax.vmap(cmap_of)(jnp.arange(W))           # (W, Kc)
 
-    # -------------------------------------------------- cost (primal only)
-    def eval_cost(poses, kp_logdepth, affine):
-        def per_src(s):
-            bundle = buffers.bundle_at(s)
-            src = ph.SourceSamples(
-                pixels=src_samples.pixels[s], valid=src_samples.valid[s]
-            )
-            idx = trg_index[s]
-            rel = jnp.matmul(
-                se3.inverse(poses[idx]), poses[s],
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            res = ph.photometric_cost_batch(
-                bundle, src, trg_images[s], buffers.K[s], geo_dims,
-                kp_logdepth[s], buffers.kp_base[s], rel,
-                affine=(affine[s], affine[idx]) if use_affine else None,
-            )
-            v = trg_valid[s].astype(res.dtype)
-            return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
-
-        per = jax.vmap(per_src)(jnp.arange(W))
-        return jnp.sum(per * src_valid.astype(per.dtype))
-
     # ------------------------------------------------------------ assemble
     def assemble(poses, kp_logdepth, affine):
         """One linearization pass: scan over sources, vmap over target
@@ -311,7 +292,7 @@ def gn_mapping(
                     "pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST
                 )
                 d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
-                b_pt = jnp.einsum("pci,pc->pi", Lw, j_l)        # (P, 16)
+                b_pt = jnp.sum(Lw * j_l[..., None], axis=1)     # (P, 16)
                 gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
                 cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
                 return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot
@@ -406,31 +387,41 @@ def gn_mapping(
         poses_new = jax.vmap(se3.retract)(poses, d_xi)
         return poses_new, kp_logdepth + d_l, affine + d_aff
 
-    cost0 = eval_cost(poses0, buffers.kp_logdepth, affine0)
+    # LM with linearize-at-trial-point: ``assemble`` computes the state's
+    # cost as a byproduct of linearization, so each iteration costs ONE
+    # assemble pass (the former separate eval_cost pass per accept/reject
+    # test doubled the per-iteration work).  On reject, the retained
+    # linearization of the best state is re-solved at the raised damping.
+    lin0 = assemble(poses0, buffers.kp_logdepth, affine0)
+    cost0 = lin0[5]
 
     def body(state):
-        poses, ld, aff, lam, it, cost, done = state
-        H, g_t, D, gl, Bs, _ = assemble(poses, ld, aff)
+        poses, ld, aff, lin, lam, it, cost, done = state
+        H, g_t, D, gl, Bs, _ = lin
         d_theta, d_l = solve_step(H, g_t, D, gl, Bs, lam)
         poses_n, ld_n, aff_n = apply_update(poses, ld, aff, d_theta, d_l)
-        cost_n = eval_cost(poses_n, ld_n, aff_n)
+        lin_n = assemble(poses_n, ld_n, aff_n)
+        cost_n = lin_n[5]
         improved = cost_n < cost
         poses = jnp.where(improved, poses_n, poses)
         ld = jnp.where(improved, ld_n, ld)
         aff = jnp.where(improved, aff_n, aff)
+        lin = jax.tree.map(
+            lambda new, old: jnp.where(improved, new, old), lin_n, lin
+        )
         lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-7), lam * 4.0)
         rel = jnp.abs(cost - cost_n) / jnp.maximum(cost, 1e-30)
         done = jnp.logical_or(jnp.logical_and(improved, rel < tol), lam > 1e5)
         cost = jnp.where(improved, cost_n, cost)
-        return poses, ld, aff, lam, it + 1, cost, done
+        return poses, ld, aff, lin, lam, it + 1, cost, done
 
     def cond(state):
-        _, _, _, _, it, _, done = state
+        _, _, _, _, _, it, _, done = state
         return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
-    poses, ld, aff, _, iters, cost, _ = jax.lax.while_loop(
+    poses, ld, aff, _, _, iters, cost, _ = jax.lax.while_loop(
         cond, body,
-        (poses0, buffers.kp_logdepth, affine0, jnp.asarray(1e-3),
+        (poses0, buffers.kp_logdepth, affine0, lin0, jnp.asarray(1e-3),
          jnp.asarray(0), cost0, jnp.asarray(False)),
     )
     return GNMapResult(

@@ -114,3 +114,83 @@ def solve_two_frame(
             all_losses.append(result.losses)
 
     return final_poses(params), params.kp_logdepth, all_losses
+
+
+def solve_two_frame_gn(
+    src_pyr: KeyFramePyramid,
+    supp_pyrs: Sequence[KeyFramePyramid],
+    init_poses: jax.Array,
+    init_kp_logdepth: jax.Array,
+    max_iters: int = 25,
+    levels: Optional[Sequence[int]] = None,
+):
+    """GN/LM two-frame SfM — the performance path (VERDICT r1 #8).
+
+    Same problem as :func:`solve_two_frame` (B supporting poses + N
+    per-segment log-depth scalars against summed photometric costs,
+    two_frame_sfm.py:117-207) posed as the scalar-landmark Schur system of
+    solve/gn_mapping with a single source keyframe: the source pose is the
+    gauge (frozen, like mapping's first-KF freeze), supporting poses are free
+    'cameras', per-segment log-depths the diagonal landmark block.  Runs
+    coarse-to-fine over ``levels`` (default: every pyramid level) with
+    ``max_iters`` LM iterations each — tens of iterations replace the
+    reference's 4 x 500 Adam steps.
+
+    Returns (poses (B, 4, 4) T_support_from_src, kp_logdepth (N,),
+    losses [per-level (initial, final)]).
+    """
+    import numpy as np
+
+    from ..lie import se3
+    from ..odometry import window as win
+    from .gn_mapping import gn_mapping
+
+    bundle = src_pyr.bundle
+    geo = src_pyr.geo
+    assert bundle is not None and geo is not None
+    geo_dims = geo.geo_dims
+    B = init_poses.shape[0]
+    kp_base = geo.keypoint_base_logdepth()
+    N = kp_base.shape[0]
+    P = bundle.uv.shape[0]
+
+    levels = list(range(src_pyr.num_levels)) if levels is None else list(levels)
+    kp_ld = jnp.asarray(init_kp_logdepth)
+    # world frame = source camera: support T_wc = inv(T_support_from_src)
+    supp_T = jax.vmap(se3.inverse)(jnp.asarray(init_poses))
+
+    trg_index = jnp.arange(1, B + 1)[None, :]          # image-pool indices
+    trg_valid = jnp.ones((1, B), bool)
+    src_valid = jnp.ones((1,), bool)
+    xi_mask = jnp.concatenate([jnp.zeros(1), jnp.ones(B)])   # gauge: src frozen
+    ld_mask = jnp.ones((1,))
+    affine_mask = jnp.zeros((1 + B,))
+
+    losses = []
+    for lv in levels:
+        img = src_pyr.images[lv]
+        buf = win.empty_window(1, B, img.shape[:2], img.shape[-1], N, P)
+        buf = win.set_keyframe_slot(
+            buf, 0, np.asarray(img), np.asarray(src_pyr.K),
+            np.eye(4, dtype=np.float32), np.asarray(kp_ld),
+            np.zeros(2, np.float32),
+            np.asarray(bundle.uv), np.asarray(bundle.seg_id),
+            np.asarray(bundle.base_logdepth), np.asarray(bundle.valid),
+            int(bundle.num_valid), np.asarray(kp_base),
+        )
+        for j in range(B):
+            buf = win.set_supporting_slot(
+                buf, 0, j, np.asarray(supp_pyrs[j].images[lv]),
+                np.asarray(supp_T[j]), np.zeros(2, np.float32),
+            )
+        res = gn_mapping(
+            buf, trg_index, trg_valid, src_valid,
+            xi_mask, ld_mask, affine_mask, geo_dims,
+            max_iters=max_iters, use_affine=False,
+        )
+        kp_ld = res.kp_logdepth[0]
+        supp_T = res.poses[1:]
+        losses.append((float(res.initial_cost), float(res.final_cost)))
+
+    poses_rel = jax.vmap(se3.inverse)(supp_T)
+    return poses_rel, kp_ld, losses

@@ -146,3 +146,50 @@ class TestTwoFrameSfM:
             src_pyr, [trg_pyr], T_true[None], jnp.zeros(4), cfg
         )
         assert len(losses) == 2 and all(l.shape == (5,) for l in losses)
+
+
+class TestTwoFrameGN:
+    def test_converges_on_plane(self):
+        """The GN/LM path must reach at least Adam-300's quality in tens of
+        LM iterations (same init scheme)."""
+        from super_primitive_tpu.solve.two_frame import solve_two_frame_gn
+
+        src_kf, trg_kf, bundle, T_true, depth = plane_keyframes(H=48, W=64)
+        src_pyr = keyframe_pyramid(src_kf, 0, 3, bundle=bundle)
+        trg_pyr = keyframe_pyramid(trg_kf, 0, 3)
+        T_init = se3.retract(
+            T_true, jnp.asarray([0.02, -0.02, 0.015, -0.03, 0.04, 0.03])
+        )[None]
+        ld_init = jnp.full((4,), 0.2)
+
+        poses, ld, losses = solve_two_frame_gn(
+            src_pyr, [trg_pyr], T_init, ld_init, max_iters=20
+        )
+        assert losses[-1][1] < 0.25 * losses[0][0]
+        err0 = pose_error(T_init[0], T_true)
+        err = pose_error(poses[0], T_true)
+        assert err < 0.3 * err0, (err, err0)
+        assert abs(float(jnp.exp(ld).mean()) - depth) < abs(
+            float(jnp.exp(ld_init).mean()) - depth
+        )
+
+    def test_matches_adam_quality(self):
+        """Final pose from GN is at least as good as the Adam parity path."""
+        from super_primitive_tpu.solve.two_frame import solve_two_frame_gn
+
+        src_kf, trg_kf, bundle, T_true, _ = plane_keyframes(H=48, W=64)
+        src_pyr = keyframe_pyramid(src_kf, 0, 3, bundle=bundle)
+        trg_pyr = keyframe_pyramid(trg_kf, 0, 3)
+        T_init = se3.retract(
+            T_true, jnp.asarray([0.02, -0.02, 0.015, -0.03, 0.04, 0.03])
+        )[None]
+        ld_init = jnp.full((4,), 0.2)
+
+        cfg = TwoFrameConfig(num_iters=300, lr_depth=3e-3, lr_pose=1e-2)
+        poses_a, _, _ = solve_two_frame(src_pyr, [trg_pyr], T_init, ld_init, cfg)
+        poses_g, _, _ = solve_two_frame_gn(
+            src_pyr, [trg_pyr], T_init, ld_init, max_iters=20
+        )
+        assert pose_error(poses_g[0], T_true) <= 1.5 * pose_error(
+            poses_a[0], T_true
+        )
