@@ -1,0 +1,161 @@
+"""Frontend inference benchmark at TUM scale (VERDICT r1 #3).
+
+ViT-H SAM (random weights — compute cost is weight-independent) on a
+960x1280 image (config/tum odom infer_resolution):
+
+  - set_image warm latency (encoder forward @ 1024^2), fp32 and bf16;
+  - 300-prompt decode via the bandwidth-optimal stats path (phase-counted
+    statistics, bit-packed mask transfer, pipelined chunks);
+  - NNET (EfficientNet-B5) normals forward @ 480x640.
+
+Timing discipline: fetch a scalar to force completion (axon relay).  Run
+alone on the chip.
+
+    python examples/bench_frontend.py [--prompts 300] [--skip-nnet]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompts", type=int, default=300)
+    ap.add_argument("--skip-nnet", action="store_true")
+    ap.add_argument("--fp32-encoder", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from super_primitive_tpu.nets.sam.image_encoder import VIT_H, ImageEncoderViT
+    from super_primitive_tpu.nets.sam.mask_decoder import MaskDecoder
+    from super_primitive_tpu.nets.sam.predictor import SamPredictor
+    from super_primitive_tpu.nets.sam.prompt_encoder import PromptEncoder
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    cfg = VIT_H
+    S = cfg.img_size // cfg.patch_size
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    t0 = time.perf_counter()
+    enc = ImageEncoderViT(cfg)
+    pe = PromptEncoder(
+        embed_dim=cfg.out_chans, image_embedding_size=(S, S),
+        input_image_size=(cfg.img_size, cfg.img_size),
+    )
+    dec = MaskDecoder(transformer_dim=cfg.out_chans)
+    params = {
+        "image_encoder": enc.init(
+            k1, jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+        )["params"],
+        "prompt_encoder": pe.init(k2, jnp.zeros((1, 2, 2)), jnp.zeros((1, 2)))["params"],
+        "mask_decoder": dec.init(
+            k3, jnp.zeros((1, S, S, cfg.out_chans)),
+            jnp.zeros((1, S, S, cfg.out_chans)),
+            jnp.zeros((2, 2, cfg.out_chans)),
+            jnp.zeros((2, S, S, cfg.out_chans)),
+        )["params"],
+    }
+    n_par = sum(x.size for x in jax.tree.leaves(params))
+    print(f"ViT-H init: {n_par/1e6:.0f}M params, {time.perf_counter()-t0:.0f} s",
+          flush=True)
+
+    dtype = None if args.fp32_encoder else jnp.bfloat16
+    pred = SamPredictor(params, cfg, compute_dtype=dtype)
+    r = np.random.default_rng(0)
+    image = r.integers(0, 255, (960, 1280, 3), np.uint8)
+
+    def sync(x):
+        return float(np.asarray(jax.tree.leaves(x)[0]).ravel().reshape(-1)[0])
+
+    # --- set_image -------------------------------------------------------
+    t0 = time.perf_counter()
+    pred.set_image(image)
+    sync(pred._features)
+    print(f"set_image cold (compile): {time.perf_counter()-t0:.1f} s", flush=True)
+    times = []
+    for i in range(3):
+        pred._last_image = None  # defeat the identity cache
+        img2 = image.copy()
+        t0 = time.perf_counter()
+        pred.set_image(img2)
+        sync(pred._features)
+        times.append(time.perf_counter() - t0)
+    enc_label = "fp32" if args.fp32_encoder else "bf16"
+    print(f"set_image warm ({enc_label} encoder): {1000*min(times):.0f} ms",
+          flush=True)
+
+    # --- prompt decode ----------------------------------------------------
+    pts = r.uniform(0, 1, (args.prompts, 2)).astype(np.float32)
+    pts = pts * np.asarray(pred._input_hw[::-1], np.float32)
+    out = pred.predict_points_with_stats(pts, out_size=256)
+    _ = out[0].sum()
+    t_decode = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        masks, iou, stab, area = pred.predict_points_with_stats(pts, out_size=256)
+        _ = masks.sum()  # host-side: results fully materialized
+        t_decode.append(time.perf_counter() - t0)
+    dt = min(t_decode)
+    mb = masks.nbytes / 8 / 1e6  # packed transfer size
+    print(
+        f"{args.prompts}-prompt decode: {1000*dt:.0f} ms "
+        f"({1000*dt/args.prompts:.2f} ms/prompt; packed transfer ~{mb:.1f} MB; "
+        f"masks {masks.shape})", flush=True,
+    )
+
+    # sub-stage split: raw decode (transformer + lowres masks) vs the full
+    # stats program (adds phase counting + packing) for one 128-prompt chunk
+    pts128 = jnp.asarray(pts[:128])[:, None, :]
+    pts128 = jnp.concatenate([pts128, jnp.zeros_like(pts128)], axis=1)
+    labels = jnp.concatenate([jnp.ones((128, 1)), -jnp.ones((128, 1))], axis=1)
+    input_hw = jnp.asarray(pred._input_hw)
+    sync(pred._decode(pred.params, pred._features, pts128, labels)[1])
+    t0 = time.perf_counter()
+    sync(pred._decode(pred.params, pred._features, pts128, labels)[1])
+    raw_ms = 1000 * (time.perf_counter() - t0)
+    sync(pred._decode_stats(pred.params, pred._features, pts128, labels,
+                            input_hw, 256)[1])
+    t0 = time.perf_counter()
+    sync(pred._decode_stats(pred.params, pred._features, pts128, labels,
+                            input_hw, 256)[1])
+    stats_ms = 1000 * (time.perf_counter() - t0)
+    print(f"per-128-chunk split: raw decode {raw_ms:.0f} ms, "
+          f"decode+stats {stats_ms:.0f} ms (stats overhead "
+          f"{stats_ms - raw_ms:.0f} ms)", flush=True)
+
+    if args.skip_nnet:
+        return
+
+    # --- NNET -------------------------------------------------------------
+    from super_primitive_tpu.nets.nnet import NNET, predict_normals
+
+    model = NNET()
+    nparams = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 480, 640, 3)))
+    img01 = jnp.asarray(image.astype(np.float32) / 255.0)
+    normals, kappa = predict_normals(nparams, img01, (480, 640))
+    sync(normals)
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        normals, _ = predict_normals(nparams, img01, (480, 640))
+        sync(normals)
+        times.append(time.perf_counter() - t0)
+    print(f"NNET normals @480x640: {1000*min(times):.0f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

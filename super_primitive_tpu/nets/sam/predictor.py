@@ -110,6 +110,20 @@ class SamPredictor:
             return feats.astype(jnp.float32)
 
         @jax.jit
+        def _encode_u8(params, img_u8):
+            """uint8 (h2, w2, 3) -> normalize/pad/encode on device.
+
+            The host uploads raw bytes (4x less relay/PCIe traffic than
+            float32); normalization and square padding are device work."""
+            x = (img_u8.astype(jnp.float32) - PIXEL_MEAN) / PIXEL_STD
+            h2, w2 = img_u8.shape[:2]
+            x = jnp.pad(
+                x,
+                ((0, self.target_length - h2), (0, self.target_length - w2), (0, 0)),
+            )
+            return _encode(params, x[None]), x[None]
+
+        @jax.jit
         def _decode(params, features, points, labels):
             sparse, dense = self.prompt_encoder.apply(
                 {"params": params["prompt_encoder"]}, points, labels
@@ -118,10 +132,19 @@ class SamPredictor:
                 {"params": params["prompt_encoder"]},
                 method=PromptEncoder.get_dense_pe,
             )
+            dec_p = params["mask_decoder"]
+            if self.compute_dtype is not None:
+                # two-way transformer + upscaling convs in bf16 (MXU-rate);
+                # prompt embeddings and outputs stay float32
+                cast = lambda a: a.astype(self.compute_dtype)
+                dec_p = jax.tree.map(cast, dec_p)
+                features, image_pe, sparse, dense = (
+                    cast(features), cast(image_pe), cast(sparse), cast(dense)
+                )
             masks, iou = self.decoder.apply(
-                {"params": params["mask_decoder"]}, features, image_pe, sparse, dense
+                {"params": dec_p}, features, image_pe, sparse, dense
             )
-            return masks, iou
+            return masks.astype(jnp.float32), iou.astype(jnp.float32)
 
         @functools.partial(jax.jit, static_argnames=("out_size",))
         def _decode_stats(params, features, points, labels, input_hw, out_size):
@@ -170,6 +193,7 @@ class SamPredictor:
             )
 
         self._encode = _encode
+        self._encode_u8 = _encode_u8
         self._decode = _decode
         self._decode_stats = _decode_stats
 
@@ -195,13 +219,10 @@ class SamPredictor:
 
         resized = cv2.resize(
             np.asarray(image_hwc_uint8), (w2, h2), interpolation=cv2.INTER_LINEAR
-        ).astype(np.float32)
-        x = (jnp.asarray(resized) - PIXEL_MEAN) / PIXEL_STD
-        x = jnp.pad(
-            x, ((0, self.target_length - h2), (0, self.target_length - w2), (0, 0))
         )
-        self._preprocessed = x[None]  # kept for conversion validation taps
-        self._features = self._encode(self.params, x[None])
+        self._features, self._preprocessed = self._encode_u8(
+            self.params, jnp.asarray(resized)
+        )
 
     # ------------------------------------------------------------- predict
     def predict_batched_points(

@@ -64,7 +64,8 @@ def plane_scene(H=48, W=64, depth=2.0, xi=(0.03, -0.02, 0.01, 0.08, 0.04, -0.03)
     return K, src_img, trg_img, T_true
 
 
-def plane_keyframes(H=48, W=64, depth=2.0, rows=2, cols=2, base_logdepth=0.0):
+def plane_keyframes(H=48, W=64, depth=2.0, rows=2, cols=2, base_logdepth=0.0,
+                    capacity=None):
     """Source KeyFrame with segment geometry (frozen logdepth=base, i.e. depth
     correct up to a per-segment shift) + supporting target KeyFrame."""
     K, src_img, trg_img, T_true = plane_scene(H, W, depth)
@@ -73,5 +74,7 @@ def plane_keyframes(H=48, W=64, depth=2.0, rows=2, cols=2, base_logdepth=0.0):
     geo = make_segment_geometry(keypoints, regions, logdepth)
     src_kf = KeyFrame(image=src_img, K=K, K_img=K, geo=geo)
     trg_kf = KeyFrame(image=trg_img, K=K, K_img=K, geo=None)
-    bundle = build_bundle_np(regions, logdepth, capacity=8192)
+    if capacity is None:
+        capacity = max(8192, int(np.ceil(regions.sum() / 1024) * 1024))
+    bundle = build_bundle_np(regions, logdepth, capacity=capacity)
     return src_kf, trg_kf, bundle, T_true, depth
