@@ -32,6 +32,10 @@ class ViTConfig:
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
     out_chans: int = 256
+    # implementation choice for the GLOBAL attention blocks (windowed blocks
+    # always use "xla" — 196-token windows are too small for flash to pay);
+    # same parameters, same math, different lowering.  See GLOBAL_ATTN_IMPLS.
+    global_attn_impl: str = "xla"
 
 
 VIT_H = ViTConfig()
@@ -40,6 +44,15 @@ VIT_TINY_TEST = ViTConfig(
     img_size=64, embed_dim=32, depth=2, num_heads=2, window_size=2,
     global_attn_indexes=(1,), out_chans=16,
 )
+
+# Global-attention implementations (param tree identical across all three):
+#   "xla"   — materialized scores + decomposed rel-pos adds (reference math,
+#             reference memory behavior);
+#   "ext"   — rel-pos folded into the QK contraction via extended heads (one
+#             pure matmul builds the scores; no (L, L) bias adds);
+#   "flash" — extended heads + the Pallas TPU flash-attention kernel (no
+#             (L, L) score materialization at all; TPU-only).
+GLOBAL_ATTN_IMPLS = ("xla", "ext", "flash")
 
 
 class LayerNorm2d(nn.Module):
@@ -83,10 +96,43 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
     return attn.reshape(B, q_h * q_w, k_h * k_w)
 
 
+def extended_qk(q, k, rel_pos_h, rel_pos_w, hw, scale):
+    """Fold decomposed rel-pos into the QK contraction (extended heads).
+
+    scores = (q*scale)@k^T + rel_h + rel_w is exactly q_ext @ k_ext^T with
+      q_ext = [q*scale | q@Rh[row_i]^T | q@Rw[col_i]^T]   (B, L, C + H + W)
+      k_ext = [k       | onehot(row_j) | onehot(col_j)]
+    because rel_h[i, j] depends on j only through row(j) (and rel_w through
+    col(j)).  Turns the two (L, L)-materializing bias adds of
+    :func:`add_decomposed_rel_pos` into extra contraction lanes — pure MXU
+    work, and a flash-attention-compatible form.
+    """
+    H, W = hw
+    B, L, _ = q.shape
+    Rh = get_rel_pos(H, H, rel_pos_h)                       # (H, H, C)
+    Rw = get_rel_pos(W, W, rel_pos_w)                       # (W, W, C)
+    r_q = q.reshape(B, H, W, -1)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh).reshape(B, L, H)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw).reshape(B, L, W)
+    q_ext = jnp.concatenate([q * scale, rel_h, rel_w], axis=-1)
+    oh_row = jnp.repeat(jnp.eye(H, dtype=q.dtype), W, axis=0)   # (L, H)
+    oh_col = jnp.tile(jnp.eye(W, dtype=q.dtype), (H, 1))        # (L, W)
+    k_ext = jnp.concatenate(
+        [
+            k,
+            jnp.broadcast_to(oh_row[None], (B, L, H)),
+            jnp.broadcast_to(oh_col[None], (B, L, W)),
+        ],
+        axis=-1,
+    )
+    return q_ext, k_ext
+
+
 class Attention(nn.Module):
     num_heads: int
     use_rel_pos: bool = True
     input_size: tuple[int, int] = (14, 14)
+    impl: str = "xla"  # one of GLOBAL_ATTN_IMPLS; non-"xla" needs use_rel_pos
 
     @nn.compact
     def __call__(self, x):
@@ -98,9 +144,6 @@ class Attention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         scale = head_dim**-0.5
-        attn = jnp.einsum(
-            "bqc,bkc->bqk", q * scale, k, precision=jax.lax.Precision.DEFAULT
-        )
         if self.use_rel_pos:
             rel_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
@@ -108,9 +151,38 @@ class Attention(nn.Module):
             rel_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
             )
-            attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (H, W), (H, W))
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v)
+
+        if self.impl == "xla" or not self.use_rel_pos:
+            attn = jnp.einsum(
+                "bqc,bkc->bqk", q * scale, k, precision=jax.lax.Precision.DEFAULT
+            )
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (H, W), (H, W))
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        elif self.impl == "ext":
+            q_ext, k_ext = extended_qk(q, k, rel_h, rel_w, (H, W), scale)
+            attn = jnp.einsum("bqc,bkc->bqk", q_ext, k_ext)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        elif self.impl == "flash":
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            q_ext, k_ext = extended_qk(q, k, rel_h, rel_w, (H, W), scale)
+            D = q_ext.shape[-1]
+            Dp = -(-D // 128) * 128  # Mosaic wants lane-aligned head dims
+            pad_qk = ((0, 0), (0, 0), (0, Dp - D))
+            pad_v = ((0, 0), (0, 0), (0, Dp - head_dim))
+            out = flash_attention(
+                jnp.pad(q_ext, pad_qk)[None],
+                jnp.pad(k_ext, pad_qk)[None],
+                jnp.pad(v, pad_v)[None],
+                sm_scale=1.0,
+            )[0][..., :head_dim]
+        else:
+            raise ValueError(f"unknown attention impl {self.impl!r}")
         out = out.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3)
         out = out.reshape(B, H, W, C)
         return nn.Dense(C, name="proj")(out)
@@ -148,10 +220,12 @@ class Block(nn.Module):
             H, W = h.shape[1], h.shape[2]
             h, pad_hw = window_partition(h, self.window_size)
             size = (self.window_size, self.window_size)
+            impl = "xla"
         else:
             size = (h.shape[1], h.shape[2])
+            impl = self.cfg.global_attn_impl
         h = Attention(
-            self.cfg.num_heads, input_size=size, name="attn"
+            self.cfg.num_heads, input_size=size, impl=impl, name="attn"
         )(h)
         if self.window_size > 0:
             h = window_unpartition(h, self.window_size, pad_hw, (x.shape[1], x.shape[2]))

@@ -84,9 +84,29 @@ class SamPredictor:
         the image ENCODER only — the 4-TFLOP ViT-H forward runs on the MXU at
         full rate; features and the (small) decoder stay float32.  None keeps
         everything float32 (checkpoint-validation parity)."""
+        if compute_dtype is not None and cfg.global_attn_impl == "xla":
+            # perf path: fold rel-pos into the QK contraction (measured
+            # slightly faster + avoids two (L, L) bias materializations per
+            # global block; math identical, tests/test_nets_frontend.py)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, global_attn_impl="ext")
         self.cfg = cfg
         self.params = params
         self.compute_dtype = compute_dtype
+        if compute_dtype is not None:
+            # pre-cast ONCE: a cast inside the jitted encode would re-read
+            # the full 2.5 GB fp32 tree from HBM on every call and keep both
+            # copies resident
+            import jax.numpy as _jnp
+
+            self._enc_params = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if a.dtype == _jnp.float32 else a,
+                params["image_encoder"],
+            )
+        else:
+            self._enc_params = params["image_encoder"]
         self.target_length = cfg.img_size
         self.embed_size = cfg.img_size // cfg.patch_size
         self.encoder = ImageEncoderViT(cfg)
@@ -101,16 +121,14 @@ class SamPredictor:
         self._orig_hw = None
 
         @jax.jit
-        def _encode(params, img):
-            p = params["image_encoder"]
+        def _encode(enc_params, img):
             if self.compute_dtype is not None:
-                p = jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
                 img = img.astype(self.compute_dtype)
-            feats = self.encoder.apply({"params": p}, img)
+            feats = self.encoder.apply({"params": enc_params}, img)
             return feats.astype(jnp.float32)
 
         @jax.jit
-        def _encode_u8(params, img_u8):
+        def _encode_u8(enc_params, img_u8):
             """uint8 (h2, w2, 3) -> normalize/pad/encode on device.
 
             The host uploads raw bytes (4x less relay/PCIe traffic than
@@ -121,7 +139,7 @@ class SamPredictor:
                 x,
                 ((0, self.target_length - h2), (0, self.target_length - w2), (0, 0)),
             )
-            return _encode(params, x[None]), x[None]
+            return _encode(enc_params, x[None]), x[None]
 
         @jax.jit
         def _decode(params, features, points, labels):
@@ -221,7 +239,7 @@ class SamPredictor:
             np.asarray(image_hwc_uint8), (w2, h2), interpolation=cv2.INTER_LINEAR
         )
         self._features, self._preprocessed = self._encode_u8(
-            self.params, jnp.asarray(resized)
+            self._enc_params, jnp.asarray(resized)
         )
 
     # ------------------------------------------------------------- predict

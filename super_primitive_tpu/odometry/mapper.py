@@ -339,7 +339,6 @@ def run_supp_refinement_gn(
     s = src_slot
     bundle = buffers.bundle_at(s)
     src = ph.precompute_source(buffers.images[s], bundle, geo_dims)
-    trg_images = buffers.image_pool()[trg_index]
     affine_all = buffers.affine_pool()
     rel = jnp.matmul(
         se3.inverse(buffers.pose_pool()[trg_index]), buffers.poses[s],
@@ -351,7 +350,11 @@ def run_supp_refinement_gn(
     nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
 
     from ..geometry import projection
-    from ..ops.sampling import bilinear_sample
+    from ..ops.sampling import bilinear_sample_packed, pack_bilinear_taps
+
+    # single-gather bilinear taps; constant over the solve (hoists out of
+    # the Newton while_loop)
+    trg_packed = jax.vmap(pack_bilinear_taps)(buffers.image_pool()[trg_index])
 
     def residuals(ld, shift):
         """(T_max, P, C) residuals with a uniform per-point logdepth tangent."""
@@ -362,14 +365,14 @@ def run_supp_refinement_gn(
             pts_t = projection.transform(pts, pose)
             uv_t = projection.project(pts_t, buffers.K[s])
             coords = ph.normalized_image_coords(uv_t, geo_dims)
-            px, ok = bilinear_sample(img, coords)
+            px, ok = bilinear_sample_packed(img, coords)
             ok = ok & (jax.lax.stop_gradient(pts_t[..., 2]) > ph.Z_VALID_BATCH)
             if use_affine:
                 px = ph.affine_compensate(px, buffers.affine[s], aff_t)
             valid = (src.valid & ok & bundle.valid).astype(px.dtype)
             return (src.pixels[..., :3] - px[..., :3]) * valid[..., None], valid
 
-        return jax.vmap(per_target)(trg_images, rel, affine_all[trg_index])
+        return jax.vmap(per_target)(trg_packed, rel, affine_all[trg_index])
 
     def cost_of(r):
         per = jnp.sum(jnp.abs(r), axis=(1, 2)) / (3.0 * nv)

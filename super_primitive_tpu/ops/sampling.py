@@ -120,6 +120,86 @@ def bilinear_sample_grad(
     return samples, dval, valid
 
 
+def pack_bilinear_taps(image: jax.Array) -> jax.Array:
+    """(H, W, C) -> (H, W, 4C) with channel blocks [v00 | v01 | v10 | v11]:
+    the four bilinear taps of the cell whose origin is that pixel.
+
+    One row-gather at the cell origin then fetches all four taps —
+    :func:`bilinear_sample_grad_packed` does 1 gather where
+    :func:`bilinear_sample_grad` does 4.  Out-of-image taps are zero
+    (zeros shift in at the last row/column).
+
+    Exactness contract: for any point within the |coord| <= 0.99 validity
+    bound the cell origin is strictly interior (0 <= x0 <= W-2, same for y),
+    where packed and per-tap sampling agree bit-for-bit.  Outside the bound
+    the two differ (packed clamps the cell), so callers must mask outputs by
+    ``valid`` — exactly what the GN linearizations already do.
+    """
+    H, W, C = image.shape
+    z_col = jnp.zeros((H, 1, C), image.dtype)
+    z_row = jnp.zeros((1, W, C), image.dtype)
+    right = jnp.concatenate([image[:, 1:], z_col], axis=1)
+    down = jnp.concatenate([image[1:], z_row], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], z_col], axis=1)
+    return jnp.concatenate([image, right, down, down_right], axis=-1)
+
+
+def bilinear_sample_packed(
+    packed: jax.Array, coords_norm: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`bilinear_sample` on a :func:`pack_bilinear_taps` image — one
+    row-gather instead of four.  Same masking contract as the packed-grad
+    variant: agrees with the unpacked sampler exactly on ``valid`` points."""
+    samples, _, valid = bilinear_sample_grad_packed(packed, coords_norm)
+    return samples, valid
+
+
+def bilinear_sample_grad_packed(
+    packed: jax.Array, coords_norm: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`bilinear_sample_grad` on a :func:`pack_bilinear_taps` image.
+
+    Returns (samples (..., N, C), dval_dcoord (..., N, C, 2), valid (..., N)).
+    Identical to the unpacked version for every point with ``valid`` True;
+    out-of-bound points return clamped-cell values and MUST be masked by the
+    caller (see the packing contract).
+    """
+    H, W, C4 = packed.shape
+    C = C4 // 4
+    x = (coords_norm[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords_norm[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    valid = jnp.all(jnp.abs(coords_norm) <= VALID_BOUND, axis=-1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+
+    flat = packed.reshape(H * W, C4)
+    taps = jnp.take(flat, y0i * W + x0i, axis=0)           # (..., N, 4C)
+    v00 = taps[..., 0 * C : 1 * C]
+    v01 = taps[..., 1 * C : 2 * C]
+    v10 = taps[..., 2 * C : 3 * C]
+    v11 = taps[..., 3 * C : 4 * C]
+
+    wxc = wx[..., None].astype(packed.dtype)
+    wyc = wy[..., None].astype(packed.dtype)
+    top = v00 * (1.0 - wxc) + v01 * wxc
+    bot = v10 * (1.0 - wxc) + v11 * wxc
+    samples = top * (1.0 - wyc) + bot * wyc
+
+    ddx = (v01 - v00) * (1.0 - wyc) + (v11 - v10) * wyc
+    ddy = (v10 - v00) * (1.0 - wxc) + (v11 - v01) * wxc
+    dval = jnp.stack(
+        [ddx * (0.5 * (W - 1)), ddy * (0.5 * (H - 1))], axis=-1
+    )
+    return samples, dval, valid
+
+
 def sample_at_pixels(image: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Sample (H, W, C) image at *pixel* (u, v) coordinates (..., N, 2).
 

@@ -29,7 +29,7 @@ from ..cost import photometric as ph
 from ..geometry import projection
 from ..keyframe import PointBundle
 from ..lie import se3
-from ..ops.sampling import bilinear_sample
+from ..ops.sampling import bilinear_sample, bilinear_sample_packed, pack_bilinear_taps
 
 
 class GNResult(NamedTuple):
@@ -52,9 +52,14 @@ def _residuals(
     kp_base: jax.Array,
     kf_affine: jax.Array,
     use_affine: bool,
+    packed: bool = False,
 ):
     """Per-point residual vector (P, C) and validity (P,) at tangent
-    ``params`` = (xi[6], affine[2]) around relative pose R."""
+    ``params`` = (xi[6], affine[2]) around relative pose R.
+
+    ``packed``: ``trg_image`` is a :func:`pack_bilinear_taps` image — one
+    row-gather per point instead of four (the residual is masked by
+    ``valid``, so the packing contract holds)."""
     xi = params[:6]
     pose = jnp.matmul(se3.exp(xi), R, precision=jax.lax.Precision.HIGHEST)
     logd = ph.spread_logdepth(bundle, kp_logdepth, kp_base)
@@ -62,7 +67,10 @@ def _residuals(
     pts_t = projection.transform(pts, pose)
     uv_t = projection.project(pts_t, K)
     coords = ph.normalized_image_coords(uv_t, geo_dims)
-    trg_pixels, trg_valid = bilinear_sample(trg_image, coords)
+    if packed:
+        trg_pixels, trg_valid = bilinear_sample_packed(trg_image, coords)
+    else:
+        trg_pixels, trg_valid = bilinear_sample(trg_image, coords)
     trg_valid = trg_valid & (jax.lax.stop_gradient(pts_t[..., 2]) > ph.Z_VALID_SINGLE)
     if use_affine:
         trg_pixels = ph.affine_compensate(trg_pixels, kf_affine, params[6:8])
@@ -97,6 +105,9 @@ def gn_track(
     """LM refinement of the tracking relative pose (+affine)."""
     n_par = 8
     eps = 1e-6
+    # one row-gather fetches all 4 bilinear taps; the image is constant over
+    # the solve so the pack hoists out of the LM while_loop
+    trg_pack = pack_bilinear_taps(trg_image)
 
     def weights(r):
         a = jnp.abs(r)
@@ -116,8 +127,8 @@ def gn_track(
 
         def res_flat(p):
             r, valid = _residuals(
-                p, R, bundle, src, trg_image, K, geo_dims,
-                kp_logdepth, kp_base, kf_affine, use_affine,
+                p, R, bundle, src, trg_pack, K, geo_dims,
+                kp_logdepth, kp_base, kf_affine, use_affine, packed=True,
             )
             return r, valid
 
@@ -149,8 +160,8 @@ def gn_track(
 
         r1, valid1 = _residuals(
             jnp.concatenate([jnp.zeros(6), affine_new]), R_new,
-            bundle, src, trg_image, K, geo_dims,
-            kp_logdepth, kp_base, kf_affine, use_affine,
+            bundle, src, trg_pack, K, geo_dims,
+            kp_logdepth, kp_base, kf_affine, use_affine, packed=True,
         )
         cost1 = cost_of(r1, valid1, num_valid)
 
@@ -170,8 +181,8 @@ def gn_track(
         return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
     r_init, valid_init = _residuals(
-        jnp.concatenate([jnp.zeros(6), affine0]), R0, bundle, src, trg_image,
-        K, geo_dims, kp_logdepth, kp_base, kf_affine, use_affine,
+        jnp.concatenate([jnp.zeros(6), affine0]), R0, bundle, src, trg_pack,
+        K, geo_dims, kp_logdepth, kp_base, kf_affine, use_affine, packed=True,
     )
     cost_init = cost_of(r_init, valid_init, num_valid)
 

@@ -46,7 +46,12 @@ import numpy as np
 from ..cost import photometric as ph
 from ..geometry import projection
 from ..lie import se3, so3
-from ..ops.sampling import bilinear_sample, bilinear_sample_grad
+from ..ops.sampling import (
+    bilinear_sample,
+    bilinear_sample_grad,
+    bilinear_sample_grad_packed,
+    pack_bilinear_taps,
+)
 from ..odometry.window import WindowBuffers
 
 
@@ -76,6 +81,7 @@ def linearize_warp(
     aff_t: jax.Array,        # (2,)
     use_affine: bool,
     z_valid: float = ph.Z_VALID_BATCH,
+    packed: bool = False,
 ):
     """Residual + closed-form Jacobian of the photometric warp.
 
@@ -84,6 +90,11 @@ def linearize_warp(
     uniform log-depth shift (1), aff_s (2), aff_t (2)] — exactly the forward
     -mode columns of the former jacfwd formulation, verified element-wise in
     tests/test_mapping.py::TestAnalyticJacobian.
+
+    ``packed``: ``trg_img`` is a :func:`pack_bilinear_taps` (H, W, 4C) image;
+    the warp then costs ONE row-gather per point instead of four (the gathers
+    are the latency wall of the whole mapping linearization; r0/J are masked
+    by ``valid`` so the packing contract holds).
     """
     Hg, Wg = geo_dims
     R = rel[:3, :3]
@@ -91,7 +102,10 @@ def linearize_warp(
     p = projection.transform(X, rel)                       # (P, 3)
     uv = projection.project(p, K)                          # (P, 2)
     coords = ph.normalized_image_coords(uv, geo_dims)
-    px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
+    if packed:
+        px_raw, dI_dc, trg_ok = bilinear_sample_grad_packed(trg_img, coords)
+    else:
+        px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
     trg_ok = trg_ok & (p[..., 2] > z_valid)
     valid = (valid_static & trg_ok).astype(px_raw.dtype)
 
@@ -185,6 +199,189 @@ class GNMapResult(NamedTuple):
     final_cost: jax.Array
 
 
+def col16(s, t, B):
+    """Unified-parameter columns of one (source, target) pair's 16 local
+    columns: [src pose 6 | trg pose 6 | src affine 2 | trg affine 2]."""
+    return jnp.concatenate([
+        6 * s + jnp.arange(6),
+        6 * t + jnp.arange(6),
+        6 * B + 2 * s + jnp.arange(2),
+        6 * B + 2 * t + jnp.arange(2),
+    ])
+
+
+def build_cmap(trg_index: jax.Array, B: int) -> jax.Array:
+    """(W, Kc) per-source local-to-global column map: [src pose 6 | src
+    affine 2 | slot0 trg pose 6 | slot0 trg affine 2 | slot1 ...]."""
+    def cmap_of(s):
+        src_cols = jnp.concatenate(
+            [6 * s + jnp.arange(6), 6 * B + 2 * s + jnp.arange(2)]
+        )
+        trg_cols = jax.vmap(
+            lambda t: jnp.concatenate(
+                [6 * t + jnp.arange(6), 6 * B + 2 * t + jnp.arange(2)]
+            )
+        )(trg_index[s]).reshape(-1)
+        return jnp.concatenate([src_cols, trg_cols])
+    W = trg_index.shape[0]
+    return jax.vmap(cmap_of)(jnp.arange(W))
+
+
+def assemble(
+    buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
+    par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
+):
+    """One linearization pass of the windowed mapping system: scan over
+    sources, vmap over target slots; landmark reductions via one-hot segment
+    matmuls (no scatters on the point axis).
+
+    Returns (H (M, M), g_t (M,), D (W, N), gl (W, N), Bs (W, N, Kc),
+    cost ()) — the camera-camera block, camera gradient, landmark diagonal,
+    landmark gradient, landmark-camera coupling in per-source block form, and
+    the current-state robust cost (a free byproduct of linearization).
+    """
+    W = buffers.capacity
+    B_pool = affine.shape[0]
+    T_max = trg_index.shape[1]
+    N = kp_logdepth.shape[1]
+    M = par_mask.shape[0]
+    C = 3
+    g_valid = trg_valid & src_valid[:, None]
+    # one row-gather fetches all four bilinear taps (see pack_bilinear_taps);
+    # images are constant over the LM solve, so XLA hoists this out of the
+    # while_loop — the pack itself costs one pass over the (W, T, H, Wd, 3)
+    # pool per solve
+    trg_packed = jax.vmap(jax.vmap(pack_bilinear_taps))(trg_images)
+
+    def per_src(carry, s):
+        H_acc, g_acc, cost_acc = carry
+        bundle = buffers.bundle_at(s)
+        logd = ph.spread_logdepth(bundle, kp_logdepth[s], buffers.kp_base[s])
+        X = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
+        src_px = src_samples.pixels[s]
+        vstat = src_samples.valid[s] & bundle.valid
+        nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
+        cnt = jnp.maximum(trg_valid[s].sum(), 1).astype(jnp.float32)
+
+        def one_slot(t, gv, img, aff_t):
+            rel0 = jnp.matmul(
+                se3.inverse(poses[t]), poses[s],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            r0, valid, J = linearize_warp(
+                X, src_px, vstat, rel0, buffers.K[s], img, geo_dims,
+                affine[s], aff_t, use_affine, packed=True,
+            )
+            # target-pose block from the source block
+            Ad_inv = adjoint(se3.inverse(rel0))
+            J_s = J[..., :6]
+            J_t = -jnp.einsum(
+                "pci,ij->pcj", J_s, Ad_inv,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            L = jnp.concatenate([J_s, J_t, J[..., 7:11]], axis=-1)
+            ix = col16(s, t, B_pool)
+            L = L * par_mask[ix][None, None, :]
+            j_l = J[..., 6]
+
+            gvf = gv.astype(r0.dtype)
+            w = gvf * valid[..., None] / jnp.maximum(jnp.abs(r0), 1e-3)
+            w = w / (C * nv * cnt)  # per-src mean normalization
+            Lw = L * w[..., None]
+            H_loc = jnp.einsum(
+                "pci,pcj->ij", Lw, L, precision=jax.lax.Precision.HIGHEST
+            )
+            g_loc = jnp.einsum(
+                "pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST
+            )
+            d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
+            b_pt = jnp.sum(Lw * j_l[..., None], axis=1)     # (P, 16)
+            gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
+            cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
+            return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot
+
+        H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot = jax.vmap(one_slot)(
+            trg_index[s], g_valid[s], trg_packed[s], affine[trg_index[s]]
+        )
+
+        # landmark reduction: one-hot segment matmul on the MXU
+        onehot = (
+            jnp.arange(N)[:, None] == bundle.seg_id[None, :]
+        ).astype(jnp.float32)                               # (N, P)
+        payload = jnp.concatenate(
+            [d_pt[..., None], gl_pt[..., None], b_pt], axis=-1
+        )                                                    # (T, P, 18)
+        seg = jnp.einsum(
+            "np,tpk->tnk", onehot, payload,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                    # (T, N, 18)
+        D_s = jnp.sum(seg[..., 0], axis=0)                   # (N,)
+        gl_s = jnp.sum(seg[..., 1], axis=0)                  # (N,)
+        bseg = seg[..., 2:]                                  # (T, N, 16)
+        b_src = jnp.sum(
+            jnp.concatenate([bseg[..., 0:6], bseg[..., 12:14]], axis=-1),
+            axis=0,
+        )                                                    # (N, 8)
+        b_trg = jnp.concatenate(
+            [bseg[..., 6:12], bseg[..., 14:16]], axis=-1
+        )                                                    # (T, N, 8)
+        Bs = jnp.concatenate(
+            [b_src, jnp.moveaxis(b_trg, 0, 1).reshape(N, T_max * 8)],
+            axis=-1,
+        )                                                    # (N, Kc)
+
+        # camera-camera block + gradient (tiny scatters: 16x16 per slot)
+        def add_slot(acc, j):
+            H_a, g_a = acc
+            H_a = H_a.at[ix[j][:, None], ix[j][None, :]].add(H_loc[j])
+            g_a = g_a.at[ix[j]].add(g_loc[j])
+            return (H_a, g_a), None
+
+        (H_acc, g_acc), _ = jax.lax.scan(
+            add_slot, (H_acc, g_acc), jnp.arange(T_max)
+        )
+        cost_acc = cost_acc + jnp.sum(cost_slot) / cnt * src_valid[s].astype(
+            cost_slot.dtype
+        )
+        return (H_acc, g_acc, cost_acc), (D_s, gl_s, Bs)
+
+    (H, g_t, cost_cur), (D, gl, Bs) = jax.lax.scan(
+        per_src,
+        (jnp.zeros((M, M)), jnp.zeros(M), jnp.zeros(())),
+        jnp.arange(W),
+    )
+    return H, g_t, D, gl, Bs, cost_cur
+
+
+def solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap):
+    """LM-damped Schur-reduced solve of the assembled normal equations.
+
+    Returns (d_theta (M,), d_l (W, N))."""
+    M = par_mask.shape[0]
+    D_d = jnp.where(ld_w > 0, D * (1.0 + lam) + 1e-10, 1.0)     # (W, N)
+    D_inv = 1.0 / D_d
+    gl_m = gl * ld_w
+    Bs_m = Bs * ld_w[..., None]                                 # (W, N, Kc)
+
+    H_d = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(M)
+    H_d = H_d + jnp.diag(jnp.where(par_mask > 0, 0.0, 1.0))
+
+    corr = jnp.einsum(
+        "wnk,wn,wnl->wkl", Bs_m, D_inv, Bs_m,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                           # (W, Kc, Kc)
+    H_red = H_d - jnp.zeros((M, M)).at[
+        cmap[:, :, None], cmap[:, None, :]
+    ].add(corr)
+    gc = jnp.einsum("wnk,wn->wk", Bs_m, D_inv * gl_m)
+    g_red = g_t * par_mask - jnp.zeros(M).at[cmap].add(gc)
+    d_theta = -jnp.linalg.solve(H_red, g_red) * par_mask
+    d_l = -(
+        D_inv * (gl_m + jnp.einsum("wnk,wk->wn", Bs_m, d_theta[cmap]))
+    ) * ld_w
+    return d_theta, d_l
+
+
 @functools.partial(jax.jit, static_argnames=("geo_dims", "max_iters", "use_affine"))
 def gn_mapping(
     buffers: WindowBuffers,
@@ -214,165 +411,22 @@ def gn_mapping(
     poses0 = buffers.pose_pool()
     src_samples = buffers.source_samples(geo_dims)
 
-    g_valid = trg_valid & src_valid[:, None]        # (W, T_max)
-
     par_mask = jnp.concatenate([
         jnp.repeat(xi_mask, 6), jnp.repeat(affine_mask, 2)
     ])  # (M,)
     ld_w = (ld_mask * buffers.kf_valid.astype(ld_mask.dtype))[:, None] * jnp.ones(
         (1, N)
     )  # (W, N)
+    cmap = build_cmap(trg_index, B)                 # (W, Kc)
 
-    # --- column maps ------------------------------------------------------
-    # 16 local columns per (source, slot): [src pose 6 | trg pose 6 | src
-    # affine 2 | trg affine 2]; Kc per-source columns: [src pose 6 | src
-    # affine 2 | slot 0 trg pose 6 | slot 0 trg affine 2 | slot 1 ...]
-    def col16(s, t):
-        return jnp.concatenate([
-            6 * s + jnp.arange(6),
-            6 * t + jnp.arange(6),
-            6 * B + 2 * s + jnp.arange(2),
-            6 * B + 2 * t + jnp.arange(2),
-        ])
-
-    def cmap_of(s):
-        src_cols = jnp.concatenate([6 * s + jnp.arange(6), 6 * B + 2 * s + jnp.arange(2)])
-        trg_cols = jax.vmap(
-            lambda t: jnp.concatenate([6 * t + jnp.arange(6), 6 * B + 2 * t + jnp.arange(2)])
-        )(trg_index[s]).reshape(-1)
-        return jnp.concatenate([src_cols, trg_cols])  # (Kc,)
-
-    cmap = jax.vmap(cmap_of)(jnp.arange(W))           # (W, Kc)
-
-    # ------------------------------------------------------------ assemble
-    def assemble(poses, kp_logdepth, affine):
-        """One linearization pass: scan over sources, vmap over target
-        slots; landmark reductions via one-hot segment matmuls (no
-        scatters on the point axis)."""
-
-        def per_src(carry, s):
-            H_acc, g_acc, cost_acc = carry
-            bundle = buffers.bundle_at(s)
-            logd = ph.spread_logdepth(bundle, kp_logdepth[s], buffers.kp_base[s])
-            X = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
-            src_px = src_samples.pixels[s]
-            vstat = src_samples.valid[s] & bundle.valid
-            nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
-            cnt = jnp.maximum(trg_valid[s].sum(), 1).astype(jnp.float32)
-
-            def one_slot(t, gv, img, aff_t):
-                rel0 = jnp.matmul(
-                    se3.inverse(poses[t]), poses[s],
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                r0, valid, J = linearize_warp(
-                    X, src_px, vstat, rel0, buffers.K[s], img, geo_dims,
-                    affine[s], aff_t, use_affine,
-                )
-                # target-pose block from the source block
-                Ad_inv = adjoint(se3.inverse(rel0))
-                J_s = J[..., :6]
-                J_t = -jnp.einsum(
-                    "pci,ij->pcj", J_s, Ad_inv,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                L = jnp.concatenate([J_s, J_t, J[..., 7:11]], axis=-1)
-                ix = col16(s, t)
-                L = L * par_mask[ix][None, None, :]
-                j_l = J[..., 6]
-
-                gvf = gv.astype(r0.dtype)
-                w = gvf * valid[..., None] / jnp.maximum(jnp.abs(r0), 1e-3)
-                w = w / (C * nv * cnt)  # per-src mean normalization
-                Lw = L * w[..., None]
-                H_loc = jnp.einsum(
-                    "pci,pcj->ij", Lw, L, precision=jax.lax.Precision.HIGHEST
-                )
-                g_loc = jnp.einsum(
-                    "pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST
-                )
-                d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
-                b_pt = jnp.sum(Lw * j_l[..., None], axis=1)     # (P, 16)
-                gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
-                cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
-                return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot
-
-            H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot = jax.vmap(one_slot)(
-                trg_index[s], g_valid[s], trg_images[s], affine[trg_index[s]]
-            )
-
-            # landmark reduction: one-hot segment matmul on the MXU
-            onehot = (
-                jnp.arange(N)[:, None] == bundle.seg_id[None, :]
-            ).astype(jnp.float32)                               # (N, P)
-            payload = jnp.concatenate(
-                [d_pt[..., None], gl_pt[..., None], b_pt], axis=-1
-            )                                                    # (T, P, 18)
-            seg = jnp.einsum(
-                "np,tpk->tnk", onehot, payload,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                                    # (T, N, 18)
-            D_s = jnp.sum(seg[..., 0], axis=0)                   # (N,)
-            gl_s = jnp.sum(seg[..., 1], axis=0)                  # (N,)
-            bseg = seg[..., 2:]                                  # (T, N, 16)
-            b_src = jnp.sum(
-                jnp.concatenate([bseg[..., 0:6], bseg[..., 12:14]], axis=-1),
-                axis=0,
-            )                                                    # (N, 8)
-            b_trg = jnp.concatenate(
-                [bseg[..., 6:12], bseg[..., 14:16]], axis=-1
-            )                                                    # (T, N, 8)
-            Bs = jnp.concatenate(
-                [b_src, jnp.moveaxis(b_trg, 0, 1).reshape(N, T_max * 8)],
-                axis=-1,
-            )                                                    # (N, Kc)
-
-            # camera-camera block + gradient (tiny scatters: 16x16 per slot)
-            def add_slot(acc, j):
-                H_a, g_a = acc
-                H_a = H_a.at[ix[j][:, None], ix[j][None, :]].add(H_loc[j])
-                g_a = g_a.at[ix[j]].add(g_loc[j])
-                return (H_a, g_a), None
-
-            (H_acc, g_acc), _ = jax.lax.scan(
-                add_slot, (H_acc, g_acc), jnp.arange(T_max)
-            )
-            cost_acc = cost_acc + jnp.sum(cost_slot) / cnt * src_valid[s].astype(
-                cost_slot.dtype
-            )
-            return (H_acc, g_acc, cost_acc), (D_s, gl_s, Bs)
-
-        (H, g_t, cost_cur), (D, gl, Bs) = jax.lax.scan(
-            per_src,
-            (jnp.zeros((M, M)), jnp.zeros(M), jnp.zeros(())),
-            jnp.arange(W),
+    def assemble_at(poses, kp_logdepth, affine):
+        return assemble(
+            buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
+            par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
         )
-        return H, g_t, D, gl, Bs, cost_cur
 
-    # ---------------------------------------------------------- block Schur
-    def solve_step(H, g_t, D, gl, Bs, lam):
-        D_d = jnp.where(ld_w > 0, D * (1.0 + lam) + 1e-10, 1.0)     # (W, N)
-        D_inv = 1.0 / D_d
-        gl_m = gl * ld_w
-        Bs_m = Bs * ld_w[..., None]                                 # (W, N, Kc)
-
-        H_d = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(M)
-        H_d = H_d + jnp.diag(jnp.where(par_mask > 0, 0.0, 1.0))
-
-        corr = jnp.einsum(
-            "wnk,wn,wnl->wkl", Bs_m, D_inv, Bs_m,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                           # (W, Kc, Kc)
-        H_red = H_d - jnp.zeros((M, M)).at[
-            cmap[:, :, None], cmap[:, None, :]
-        ].add(corr)
-        gc = jnp.einsum("wnk,wn->wk", Bs_m, D_inv * gl_m)
-        g_red = g_t * par_mask - jnp.zeros(M).at[cmap].add(gc)
-        d_theta = -jnp.linalg.solve(H_red, g_red) * par_mask
-        d_l = -(
-            D_inv * (gl_m + jnp.einsum("wnk,wk->wn", Bs_m, d_theta[cmap]))
-        ) * ld_w
-        return d_theta, d_l
+    def solve_at(H, g_t, D, gl, Bs, lam):
+        return solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap)
 
     kf_of = jnp.concatenate([jnp.arange(W), jnp.repeat(jnp.arange(W), S)])
     is_supp = jnp.arange(B) >= W
@@ -392,15 +446,15 @@ def gn_mapping(
     # assemble pass (the former separate eval_cost pass per accept/reject
     # test doubled the per-iteration work).  On reject, the retained
     # linearization of the best state is re-solved at the raised damping.
-    lin0 = assemble(poses0, buffers.kp_logdepth, affine0)
+    lin0 = assemble_at(poses0, buffers.kp_logdepth, affine0)
     cost0 = lin0[5]
 
     def body(state):
         poses, ld, aff, lin, lam, it, cost, done = state
         H, g_t, D, gl, Bs, _ = lin
-        d_theta, d_l = solve_step(H, g_t, D, gl, Bs, lam)
+        d_theta, d_l = solve_at(H, g_t, D, gl, Bs, lam)
         poses_n, ld_n, aff_n = apply_update(poses, ld, aff, d_theta, d_l)
-        lin_n = assemble(poses_n, ld_n, aff_n)
+        lin_n = assemble_at(poses_n, ld_n, aff_n)
         cost_n = lin_n[5]
         improved = cost_n < cost
         poses = jnp.where(improved, poses_n, poses)

@@ -20,6 +20,7 @@ from super_primitive_tpu.nets.efficientnet import EfficientNetFeatures, round_ch
 from super_primitive_tpu.nets.nnet import NNET, norm_normalize, resize_bilinear_ac
 from super_primitive_tpu.nets.sam.image_encoder import (
     VIT_TINY_TEST,
+    Attention,
     ImageEncoderViT,
 )
 from super_primitive_tpu.nets.sam.mask_decoder import MaskDecoder
@@ -81,6 +82,25 @@ class TestSamTiny:
         out = enc.apply(params, x)
         S = cfg.img_size // cfg.patch_size
         assert out.shape == (1, S, S, cfg.out_chans)
+
+    def test_global_attn_impl_parity(self):
+        # "ext" folds rel-pos into the QK contraction (extended heads); the
+        # scores must match the materialized-bias "xla" path exactly.
+        # Non-square spatial input catches row/col onehot transpositions.
+        H, W, C, nh = 4, 6, 16, 2
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, (2, H, W, C))
+        ref = Attention(nh, input_size=(H, W), impl="xla")
+        params = ref.init(rng, x)
+        # give rel-pos tables non-zero values (init is zeros)
+        params = jax.tree.map(
+            lambda a: a + 0.1 * jax.random.normal(rng, a.shape), params
+        )
+        out_xla = ref.apply(params, x)
+        out_ext = Attention(nh, input_size=(H, W), impl="ext").apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out_ext), np.asarray(out_xla), rtol=1e-5, atol=1e-5
+        )
 
     def test_decoder_shapes(self):
         D = 16

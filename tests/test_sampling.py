@@ -71,3 +71,38 @@ class TestBilinearSample:
             jnp.asarray(img.transpose(1, 2, 0)), jnp.asarray(coords)
         )
         np.testing.assert_allclose(np.asarray(vals).reshape(60, 3), np.asarray(flat_vals))
+
+
+class TestPackedTaps:
+    def test_packed_grad_matches_unpacked_on_valid(self):
+        from super_primitive_tpu.ops.sampling import (
+            bilinear_sample_grad,
+            bilinear_sample_grad_packed,
+            pack_bilinear_taps,
+        )
+
+        r = np.random.default_rng(5)
+        img = r.uniform(0, 1, size=(17, 23, 3)).astype(np.float32)
+        coords = r.uniform(-1.3, 1.3, size=(500, 2)).astype(np.float32)
+        s0, d0, v0 = bilinear_sample_grad(jnp.asarray(img), jnp.asarray(coords))
+        packed = pack_bilinear_taps(jnp.asarray(img))
+        s1, d1, v1 = bilinear_sample_grad_packed(packed, jnp.asarray(coords))
+        v = np.asarray(v0)
+        np.testing.assert_array_equal(v, np.asarray(v1))
+        np.testing.assert_allclose(
+            np.asarray(s1)[v], np.asarray(s0)[v], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(d1)[v], np.asarray(d0)[v], atol=1e-5
+        )
+
+    def test_pack_layout(self):
+        from super_primitive_tpu.ops.sampling import pack_bilinear_taps
+
+        img = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+        p = np.asarray(pack_bilinear_taps(jnp.asarray(img)))
+        # interior cell (1, 1): taps are img[1,1], img[1,2], img[2,1], img[2,2]
+        np.testing.assert_array_equal(p[1, 1], [5, 6, 9, 10])
+        # last column/row shift in zeros
+        np.testing.assert_array_equal(p[1, 3], [7, 0, 11, 0])
+        np.testing.assert_array_equal(p[2, 3], [11, 0, 0, 0])
