@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..geometry import projection
 from ..keyframe import PointBundle, SegmentGeometry
-from ..ops.sampling import bilinear_sample
+from ..ops.sampling import bilinear_sample, bilinear_sample_packed, pack_bilinear_taps
 
 # The reference uses z > 1e-7 in the single-target path (dense_optim.py:146)
 # and z > 1e-6 in the batched path (dense_optim_batch.py:15); we keep both.
@@ -129,7 +129,13 @@ def photometric_cost(
 
     uv_t = projection.project(pts_t, K)
     coords = normalized_image_coords(uv_t, geo_dims)
-    trg_pixels, trg_valid = bilinear_sample(trg_image, coords)
+    # packed taps: ONE row-gather per point instead of four (the gathers are
+    # the latency wall of the whole cost).  The pack is loop-invariant, so
+    # XLA hoists it out of optimizer while_loops; every consumed quantity is
+    # masked by validity, where packed == per-tap sampling exactly.
+    trg_pixels, trg_valid = bilinear_sample_packed(
+        pack_bilinear_taps(trg_image), coords
+    )
     trg_valid = trg_valid & (jax.lax.stop_gradient(pts_t[..., 2]) > Z_VALID_SINGLE)
 
     if affine is not None:
@@ -189,7 +195,10 @@ def photometric_cost_batch(
         pts_t = projection.transform(pts, pose)
         uv_t = projection.project(pts_t, K)
         coords = normalized_image_coords(uv_t, geo_dims)
-        trg_pixels, trg_valid = bilinear_sample(trg_image, coords)
+        # single-gather packed taps (see photometric_cost); hoisted per solve
+        trg_pixels, trg_valid = bilinear_sample_packed(
+            pack_bilinear_taps(trg_image), coords
+        )
         trg_valid = trg_valid & (jax.lax.stop_gradient(pts_t[..., 2]) > Z_VALID_BATCH)
         if affine is not None:
             trg_pixels = affine_compensate(trg_pixels, affine[0], trg_affine)
