@@ -59,11 +59,22 @@ def solve_two_frame(
     init_kp_logdepth: jax.Array,
     cfg: TwoFrameConfig = TwoFrameConfig(),
     loss_history: bool = True,
+    snapshot_cb=None,
+    snapshot_every: int = 0,
 ):
     """Run coarse-to-fine joint pose+depth optimization.
 
     ``init_poses`` is (B, 4, 4) T_support_from_src for each supporting frame.
     Returns (poses (B, 4, 4), kp_logdepth (N,), losses list per level).
+
+    ``snapshot_cb(level, iters_done, params, chunk_losses)`` — the "inspect a
+    running solve" surface (the reference streams every iteration to its GUI,
+    two_frame_sfm.py:175-183): when set with ``snapshot_every`` k > 0, each
+    level runs as ceil(num_iters/k) jitted chunks of the SAME scan (one
+    compile per chunk size) with the callback invoked between chunks; Adam
+    state flows through, so the trajectory is identical to the unchunked
+    solve.  Pair with viz.viewer.save_html_viewer to export an interactive
+    replay (see examples/inspect_two_frame.py).
     """
     bundle = src_pyr.bundle
     geo = src_pyr.geo
@@ -85,8 +96,8 @@ def solve_two_frame(
     num_levels = src_pyr.num_levels
     all_losses = []
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def solve_level(params, opt_state, src_samples, trg_images, skip_first):
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def solve_level(params, opt_state, src_samples, trg_images, skip_first, num_iters):
         def loss_fn(poses, kp_logdepth, affine):
             def per_supp(trg_image, pose):
                 return ph.photometric_cost(
@@ -99,19 +110,33 @@ def solve_two_frame(
             return jnp.sum(jnp.abs(residuals))
 
         return run_adam(
-            loss_fn, params, optimizer, opt_state, cfg.num_iters,
+            loss_fn, params, optimizer, opt_state, num_iters,
             fold=False, skip_first_step=skip_first,
         )
 
+    chunk = snapshot_every if (snapshot_every and snapshot_cb) else cfg.num_iters
     for level in range(num_levels):
         src_samples = ph.precompute_source(src_pyr.images[level], bundle, geo_dims)
         trg_images = jnp.stack([p.images[level] for p in supp_pyrs])
-        result: SolveResult = solve_level(
-            params, opt_state, src_samples, trg_images, level == 0
-        )
-        params, opt_state = result.params, result.opt_state
+        done = 0
+        level_losses = []
+        while done < cfg.num_iters:
+            k = min(chunk, cfg.num_iters - done)
+            result: SolveResult = solve_level(
+                params, opt_state, src_samples, trg_images,
+                level == 0 and done == 0, k,
+            )
+            params, opt_state = result.params, result.opt_state
+            done += k
+            if loss_history:
+                level_losses.append(result.losses)
+            if snapshot_cb is not None and snapshot_every:
+                snapshot_cb(level, done, params, result.losses)
         if loss_history:
-            all_losses.append(result.losses)
+            all_losses.append(
+                level_losses[0] if len(level_losses) == 1
+                else jnp.concatenate(level_losses)
+            )
 
     return final_poses(params), params.kp_logdepth, all_losses
 
