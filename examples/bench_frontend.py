@@ -79,7 +79,10 @@ def main():
     image = r.integers(0, 255, (960, 1280, 3), np.uint8)
 
     def sync(x):
-        return float(np.asarray(jax.tree.leaves(x)[0]).ravel().reshape(-1)[0])
+        # fetch ONE element (device-side slice): the relay moves ~45 MB/s, so
+        # materializing a full tensor would bill MBs of transfer to compute
+        leaf = jax.tree.leaves(x)[0]
+        return float(np.asarray(leaf[(0,) * leaf.ndim]))
 
     # --- set_image -------------------------------------------------------
     t0 = time.perf_counter()
@@ -97,6 +100,20 @@ def main():
     enc_label = "fp32" if args.fp32_encoder else "bf16"
     print(f"set_image warm ({enc_label} encoder): {1000*min(times):.0f} ms",
           flush=True)
+
+    # approximate DEVICE time of the encoder: warm dispatch minus the
+    # trivial-dispatch round trip (a k-repeat in-dispatch scan would be
+    # exact, but the remote compiler takes >20 min on the 4x-scanned ViT-H
+    # graph — not worth it for a bench)
+    trivial = jax.jit(lambda x: x + 1.0)
+    sync(trivial(jnp.zeros(())))
+    rtts = []
+    for _i in range(5):
+        t0 = time.perf_counter(); sync(trivial(jnp.zeros(()))); rtts.append(time.perf_counter() - t0)
+    rtt_ms = 1000 * min(rtts)
+    print(f"encoder device time ~{1000*min(times) - rtt_ms:.0f} ms "
+          f"(warm dispatch minus {rtt_ms:.0f} ms relay RTT; excludes host "
+          f"resize + uint8 upload)", flush=True)
 
     # --- prompt decode ----------------------------------------------------
     pts = r.uniform(0, 1, (args.prompts, 2)).astype(np.float32)

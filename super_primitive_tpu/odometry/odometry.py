@@ -272,7 +272,7 @@ class Odometry:
 
             # run GN at the levels the step schedule marks active
             levels = [lv for lv, n in enumerate(track_cfg.steps) if n > 0]
-            T_frame, affine, _ = gn_track_frame(
+            T_frame, affine, infos = gn_track_frame(
                 self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
                 b.kp_logdepth[i], b.kp_base[i],
                 jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
@@ -281,7 +281,8 @@ class Odometry:
                 max_iters=track_cfg.gn_max_iters,
                 use_affine=self.affine_compensation,
             )
-            losses = []
+            # report the finest level's final cost like the Adam path does
+            losses = [[float(infos[-1].final_cost)]] if infos else []
         else:
             T_frame, affine, losses = tracker.track_frame(
                 self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
