@@ -61,3 +61,28 @@ def shard_bundle(bundle, mesh: Mesh):
         valid=jax.device_put(bundle.valid, ps),
         num_valid=jax.device_put(bundle.num_valid, rep),
     )
+
+
+def shard_window(buffers, mesh: Mesh):
+    """Place WindowBuffers for multi-chip mapping: the bundle-point axis
+    (axis 1 of every (W, P, ...) array) shards over ``sp``; everything else
+    replicates.
+
+    This is all a sharded GN/Adam mapping solve needs: the per-point warp
+    and linearization are pointwise over P (zero communication), and the
+    normal-equation reductions contract over P, so GSPMD inserts one psum
+    per reduction over ICI.  The tiny Schur solve replicates.  Verified
+    equal to the unsharded solve in tests/test_multichip.py.
+    """
+    point_sharded = NamedSharding(mesh, P(None, "sp"))
+    rep = replicated(mesh)
+
+    def place(name, x):
+        if name in ("uv", "seg_id", "base_logdepth", "point_valid"):
+            return jax.device_put(x, point_sharded)
+        return jax.device_put(x, rep)
+
+    return type(buffers)(**{
+        f: place(f, getattr(buffers, f))
+        for f in buffers.__dataclass_fields__
+    })

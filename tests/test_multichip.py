@@ -12,7 +12,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from super_primitive_tpu.keyframe import build_bundle_np
 from super_primitive_tpu.lie import se3
 from super_primitive_tpu.odometry import mapper, window
-from super_primitive_tpu.parallel.mesh import make_mesh, replicated
+from super_primitive_tpu.parallel.mesh import make_mesh, replicated, shard_window
 
 from test_mapping import window_setup  # fixture reuse  # noqa: F401
 
@@ -24,19 +24,7 @@ def mesh():
     return make_mesh(8)
 
 
-def shard_buffers(buf, mesh):
-    """Points axis (per-KF, axis 1 of (W, P, ...)) over sp; images replicated."""
-    point_sharded = NamedSharding(mesh, P(None, "sp"))
-    rep = replicated(mesh)
-
-    def place(name, x):
-        if name in ("uv", "seg_id", "base_logdepth", "point_valid"):
-            return jax.device_put(x, point_sharded)
-        return jax.device_put(x, rep)
-
-    return type(buf)(**{
-        f: place(f, getattr(buf, f)) for f in buf.__dataclass_fields__
-    })
+shard_buffers = shard_window  # library helper (parallel/mesh.py)
 
 
 class TestShardedMapping:
@@ -112,3 +100,87 @@ class TestDriverContract:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+class TestShardedGNMapping:
+    """The GN/LM performance path distributes the same way: points over sp,
+    pointwise linearization local, reductions psum over ICI."""
+
+    def _args(self, buf):
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        return (
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+        )
+
+    def test_assemble_matches_unsharded(self, window_setup, mesh):
+        """The linearization pass (no accept/reject branching) must agree
+        tightly — any drift here is a sharding bug, not float noise."""
+        from super_primitive_tpu.solve import gn_mapping as gm
+
+        buf, _, geo_dims = window_setup
+        trg_index, trg_valid, src_valid, xi_m, ld_m, aff_m = self._args(buf)
+        par_mask = jnp.concatenate([jnp.repeat(xi_m, 6), jnp.repeat(aff_m, 2)])
+
+        def run(b):
+            trg_images = b.image_pool()[trg_index]
+            src_samples = b.source_samples(geo_dims)
+            return gm.assemble(
+                b, trg_index, trg_valid, src_valid, trg_images, src_samples,
+                par_mask, geo_dims, False,
+                b.pose_pool(), b.kp_logdepth, b.affine_pool(),
+            )
+
+        plain = jax.jit(run)(buf)
+        with mesh:
+            sharded = jax.jit(run)(shard_window(buf, mesh))
+        for a, b, name in zip(
+            plain, sharded, ["H", "g_t", "D", "gl", "Bs", "cost"]
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+                err_msg=name,
+            )
+
+    def test_gn_solve_matches_unsharded(self, window_setup, mesh):
+        from super_primitive_tpu.solve.gn_mapping import gn_mapping
+
+        buf, _, geo_dims = window_setup
+        args = self._args(buf)
+        res_plain = gn_mapping(buf, *args, geo_dims, max_iters=5, tol=0.0)
+        with mesh:
+            res_shard = gn_mapping(
+                shard_window(buf, mesh), *args, geo_dims, max_iters=5, tol=0.0
+            )
+        assert np.isfinite(float(res_shard.final_cost))
+        # LM accept/reject can amplify reduction-order noise across 5 iters;
+        # the solves must still land on the same optimum
+        np.testing.assert_allclose(
+            np.asarray(res_plain.poses), np.asarray(res_shard.poses), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(res_plain.final_cost), float(res_shard.final_cost),
+            rtol=1e-3,
+        )
+
+    def test_collectives_present(self, window_setup, mesh):
+        """Prove the sharded solve actually distributes: the compiled HLO
+        must contain cross-device all-reduces."""
+        from super_primitive_tpu.solve.gn_mapping import gn_mapping
+
+        buf, _, geo_dims = window_setup
+        args = self._args(buf)
+        with mesh:
+            lowered = jax.jit(
+                lambda b: gn_mapping(b, *args, geo_dims, max_iters=2, tol=0.0)
+            ).lower(shard_window(buf, mesh))
+            hlo = lowered.compile().as_text()
+        assert "all-reduce" in hlo or "reduce-scatter" in hlo, (
+            "no collectives in compiled HLO — inputs not actually sharded?"
+        )
