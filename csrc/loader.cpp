@@ -25,6 +25,7 @@
 // leave the loser waiting for a re-decode it never scheduled. The Python
 // wrapper (native_loader.py) calls from one consumer thread, honoring this.
 
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -145,6 +146,56 @@ Image decode_jpeg(const std::string& path) {
   return img;
 }
 
+// Plumb-bob (OpenCV) forward distortion -> undistort remap tables, the same
+// math as cv2.initUndistortRectifyMap with newK == K (used by the
+// reference's fr1 variant via cv2.undistort, data/tum_undistort.py:64-130).
+void undistort_maps(const double* K, const double* dist, int h, int w,
+                    float* map_x, float* map_y) {
+  const double fx = K[0], cx = K[2], fy = K[4], cy = K[5];
+  const double k1 = dist[0], k2 = dist[1], p1 = dist[2], p2 = dist[3],
+               k3 = dist[4];
+  for (int v = 0; v < h; v++) {
+    const double y = (v - cy) / fy;
+    for (int u = 0; u < w; u++) {
+      const double x = (u - cx) / fx;
+      const double r2 = x * x + y * y;
+      const double rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3));
+      const double xd = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x);
+      const double yd = y * rad + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y;
+      map_x[(size_t)v * w + u] = (float)(xd * fx + cx);
+      map_y[(size_t)v * w + u] = (float)(yd * fy + cy);
+    }
+  }
+}
+
+// Bilinear remap with constant-zero border (cv2.remap/undistort default).
+void remap_u8(const uint8_t* src, int h, int w, int c, const float* map_x,
+              const float* map_y, uint8_t* dst) {
+  for (int v = 0; v < h; v++) {
+    for (int u = 0; u < w; u++) {
+      const float sx = map_x[(size_t)v * w + u];
+      const float sy = map_y[(size_t)v * w + u];
+      const int x0 = (int)std::floor(sx);
+      const int y0 = (int)std::floor(sy);
+      const float ax = sx - x0, ay = sy - y0;
+      const float w00 = (1 - ax) * (1 - ay), w01 = ax * (1 - ay);
+      const float w10 = (1 - ax) * ay, w11 = ax * ay;
+      for (int ch = 0; ch < c; ch++) {
+        float acc = 0.f;
+        const bool in00 = x0 >= 0 && x0 < w && y0 >= 0 && y0 < h;
+        const bool in01 = x0 + 1 >= 0 && x0 + 1 < w && y0 >= 0 && y0 < h;
+        const bool in10 = x0 >= 0 && x0 < w && y0 + 1 >= 0 && y0 + 1 < h;
+        const bool in11 = x0 + 1 >= 0 && x0 + 1 < w && y0 + 1 >= 0 && y0 + 1 < h;
+        if (in00) acc += w00 * src[((size_t)y0 * w + x0) * c + ch];
+        if (in01) acc += w01 * src[((size_t)y0 * w + x0 + 1) * c + ch];
+        if (in10) acc += w10 * src[((size_t)(y0 + 1) * w + x0) * c + ch];
+        if (in11) acc += w11 * src[((size_t)(y0 + 1) * w + x0 + 1) * c + ch];
+        dst[((size_t)v * w + u) * c + ch] = (uint8_t)(acc + 0.5f);
+      }
+    }
+  }
+}
+
 Image decode_any(const std::string& path) {
   if (has_suffix(path, ".png")) return decode_png(path);
   if (has_suffix(path, ".jpg") || has_suffix(path, ".jpeg"))
@@ -232,6 +283,10 @@ class Loader {
         queue_.pop_front();
       }
       Image img = decode_any(paths_[idx]);
+      // on the decode thread: prefetch hides the cost.  If set_undistort
+      // raced in between remap and store, redo with the fresh maps.
+      while (maybe_undistort(img) != undistort_gen())
+        img = decode_any(paths_[idx]);
       {
         std::lock_guard<std::mutex> lk(mu_);
         done_[idx] = std::move(img);
@@ -251,6 +306,67 @@ class Loader {
       cv_done_.notify_all();
     }
   }
+
+  // Optional in-pipeline undistortion (8-bit images of matching size only —
+  // 16-bit depth passes through, matching the reference which undistorts
+  // the colour stream but not depth).  Returns the map generation used, so
+  // the store path can detect a set_undistort that raced the decode.
+  int maybe_undistort(Image& img) {
+    std::vector<float> mx, my;
+    int uh, uw, gen;
+    {
+      std::lock_guard<std::mutex> lk(umu_);
+      gen = ugen_;
+      if (umap_x_.empty()) return gen;
+      if (!img.ok || img.bytes_per_channel != 1 || img.height != u_h_ ||
+          img.width != u_w_)
+        return gen;
+      mx = umap_x_;  // copy so remap runs outside the lock
+      my = umap_y_;
+      uh = u_h_;
+      uw = u_w_;
+    }
+    std::vector<uint8_t> out(img.data.size());
+    remap_u8(img.data.data(), uh, uw, img.channels, mx.data(), my.data(),
+             out.data());
+    img.data = std::move(out);
+    return gen;
+  }
+
+  int undistort_gen() {
+    std::lock_guard<std::mutex> lk(umu_);
+    return ugen_;
+  }
+
+ public:
+  void set_undistort(const float* map_x, const float* map_y, int h, int w) {
+    {
+      std::lock_guard<std::mutex> lk(umu_);
+      umap_x_.assign(map_x, map_x + (size_t)h * w);
+      umap_y_.assign(map_y, map_y + (size_t)h * w);
+      u_h_ = h;
+      u_w_ = w;
+      ugen_++;
+    }
+    // drop images decoded under the previous maps so they re-decode;
+    // awaited entries are never evicted (their consumer already raced the
+    // map change — documented contract: attach maps before consuming)
+    std::lock_guard<std::mutex> lk(mu_);
+    for (auto it = done_.begin(); it != done_.end();) {
+      if (waiting_.count(it->first)) {
+        ++it;
+        continue;
+      }
+      scheduled_.erase(it->first);
+      it = done_.erase(it);
+    }
+  }
+
+ private:
+  std::mutex umu_;
+  std::vector<float> umap_x_, umap_y_;
+  int u_h_ = 0, u_w_ = 0;
+  int ugen_ = 0;
 
   std::vector<std::string> paths_;
   int lookahead_;
@@ -283,5 +399,23 @@ long sp_loader_get(void* handle, int idx, unsigned char* out, long capacity,
 }
 
 void sp_loader_close(void* handle) { delete (Loader*)handle; }
+
+// Attach undistort remap tables: subsequently decoded 8-bit images of
+// (h, w) are remapped on the decode threads before being returned.
+void sp_loader_set_undistort(void* handle, const float* map_x,
+                             const float* map_y, int h, int w) {
+  ((Loader*)handle)->set_undistort(map_x, map_y, h, w);
+}
+
+// Standalone map construction / remap (also used by tests).
+void sp_undistort_maps(const double* K, const double* dist, int h, int w,
+                       float* map_x, float* map_y) {
+  undistort_maps(K, dist, h, w, map_x, map_y);
+}
+
+void sp_remap_u8(const unsigned char* src, int h, int w, int c,
+                 const float* map_x, const float* map_y, unsigned char* dst) {
+  remap_u8(src, h, w, c, map_x, map_y, dst);
+}
 
 }  // extern "C"

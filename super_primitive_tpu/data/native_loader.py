@@ -58,8 +58,63 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.sp_loader_close.argtypes = [ctypes.c_void_p]
+        lib.sp_loader_set_undistort.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.sp_undistort_maps.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.sp_remap_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ]
         _lib = lib
         return _lib
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def undistort_maps(K: np.ndarray, dist: np.ndarray, h: int, w: int):
+    """Native cv2.initUndistortRectifyMap equivalent (newK == K).
+
+    Returns (map_x, map_y) float32 (h, w), or None without the native lib."""
+    lib = get_lib()
+    if not lib:
+        return None
+    K = np.ascontiguousarray(np.asarray(K, np.float64).reshape(9))
+    d = np.ascontiguousarray(np.asarray(dist, np.float64).reshape(-1))
+    d = np.pad(d, (0, max(0, 5 - len(d))))[:5].copy()
+    mx = np.empty((h, w), np.float32)
+    my = np.empty((h, w), np.float32)
+    lib.sp_undistort_maps(
+        K.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        h, w, _f32p(mx), _f32p(my),
+    )
+    return mx, my
+
+
+def remap_u8(src: np.ndarray, map_x: np.ndarray, map_y: np.ndarray):
+    """Native bilinear remap (constant-zero border) of a uint8 image."""
+    lib = get_lib()
+    assert lib, "native loader unavailable"
+    src = np.ascontiguousarray(src)
+    h, w = src.shape[:2]
+    c = 1 if src.ndim == 2 else src.shape[2]
+    dst = np.empty_like(src)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    lib.sp_remap_u8(
+        u8p(src), h, w, c,
+        _f32p(np.ascontiguousarray(map_x)), _f32p(np.ascontiguousarray(map_y)),
+        u8p(dst),
+    )
+    return dst
 
 
 class NativeImageLoader:
@@ -123,6 +178,21 @@ class NativeImageLoader:
         if c.value == 1:
             img = img[..., 0]
         return img
+
+    def set_undistort(self, map_x: np.ndarray, map_y: np.ndarray):
+        """Remap subsequently decoded 8-bit images on the C++ decode threads
+        (prefetch hides the cost).  No-op on the cv2 fallback — callers keep
+        their own host-side undistort for that path."""
+        if not self._native:
+            return False
+        h, w = map_x.shape
+        self._lib.sp_loader_set_undistort(
+            self._handle,
+            _f32p(np.ascontiguousarray(map_x, np.float32)),
+            _f32p(np.ascontiguousarray(map_y, np.float32)),
+            h, w,
+        )
+        return True
 
     def close(self):
         if self._native and self._handle:

@@ -129,12 +129,28 @@ class TUMUndistortDataset(TUMDataset):
         self.intrinsics = K_FR1.copy()
         self.intrinsics[0, 2] -= CROP_W
         self.intrinsics[1, 2] -= CROP_H
+        # native path: undistort on the C++ decode threads (prefetch hides
+        # the remap; the reference pays cv2.undistort on the critical loop)
+        self._native_undistort = False
+        if self._rgb_loader is not None and len(self) > 0:
+            try:
+                from .native_loader import undistort_maps
+
+                probe = self._rgb_loader[0]
+                maps = undistort_maps(
+                    self.intrinsics_full, DIST_FR1, *probe.shape[:2]
+                )
+                if maps is not None:
+                    self._native_undistort = self._rgb_loader.set_undistort(*maps)
+            except Exception as e:
+                print(f"[tum_undistort] native undistort unavailable: {e}")
 
     def __getitem__(self, idx):
         from .transforms import bgr_to_rgb, scale_and_filter_depth
 
         image, depth = self._read_pair(idx)
-        image = cv2.undistort(image, self.intrinsics_full, DIST_FR1)
+        if not self._native_undistort:
+            image = cv2.undistort(image, self.intrinsics_full, DIST_FR1)
         image = image[CROP_H:-CROP_H, CROP_W:-CROP_W, :]
         depth = depth[CROP_H:-CROP_H, CROP_W:-CROP_W]
         T = (

@@ -99,3 +99,90 @@ class TestTumNative:
             a, b = ds_native[i], ds_plain[i]
             np.testing.assert_array_equal(a["image"], b["image"])
             np.testing.assert_allclose(a["depth"], b["depth"])
+
+
+class TestNativeUndistort:
+    K = np.array([[520.9, 0, 321.5], [0, 521.0, 249.7], [0, 0, 1]], np.float64)
+    DIST = np.array([0.2312, -0.7849, -0.0033, -0.0001, 0.9172], np.float64)
+
+    @pytest.fixture(autouse=True)
+    def _need_lib(self):
+        if not get_lib():
+            pytest.skip("native lib unavailable")
+
+    def test_maps_match_cv2(self):
+        from super_primitive_tpu.data.native_loader import undistort_maps
+
+        h, w = 120, 160
+        K = self.K.copy()
+        K[0, 2], K[1, 2] = w / 2, h / 2
+        mx, my = undistort_maps(K, self.DIST, h, w)
+        cx, cy = cv2.initUndistortRectifyMap(
+            K, self.DIST, None, K, (w, h), cv2.CV_32FC1
+        )
+        np.testing.assert_allclose(mx, cx, atol=1e-3)
+        np.testing.assert_allclose(my, cy, atol=1e-3)
+
+    def test_remap_matches_cv2_undistort(self):
+        from super_primitive_tpu.data.native_loader import (
+            remap_u8,
+            undistort_maps,
+        )
+
+        r = np.random.default_rng(0)
+        h, w = 120, 160
+        K = self.K.copy()
+        K[0, 2], K[1, 2] = w / 2, h / 2
+        mx, my = undistort_maps(K, self.DIST, h, w)
+        # cv2.remap quantizes interpolation weights to 1/32: the error bound
+        # scales with local contrast, so check the interior (smooth) tightly
+        # and the border zone (constant-0 taps against bright pixels) loosely
+        interior = (
+            (mx >= 0) & (mx < w - 1) & (my >= 0) & (my < h - 1)
+        )[..., None]
+
+        yy, xx = np.mgrid[:h, :w].astype(np.float32)
+        smooth = np.stack(
+            [200 * xx / w, 200 * yy / h, 100 * (xx / w + yy / h)], -1
+        ).astype(np.uint8)
+        diff = np.abs(
+            remap_u8(smooth, mx, my).astype(int)
+            - cv2.undistort(smooth, K, self.DIST).astype(int)
+        )
+        assert diff[np.broadcast_to(interior, diff.shape)].max() <= 2, diff.max()
+        assert diff.max() <= 8, diff.max()
+
+        img = r.integers(0, 255, (h, w, 3), np.uint8)
+        diff = np.abs(
+            remap_u8(img, mx, my).astype(int)
+            - cv2.undistort(img, K, self.DIST).astype(int)
+        )
+        assert diff.max() <= 16, diff.max()
+        assert (diff > 2).mean() < 0.08
+
+    def test_loader_pipeline_undistort(self, tmp_path):
+        from super_primitive_tpu.data.native_loader import undistort_maps
+
+        r = np.random.default_rng(1)
+        h, w = 96, 128
+        K = self.K.copy()
+        K[0, 2], K[1, 2] = w / 2, h / 2
+        paths = []
+        imgs = []
+        for i in range(4):
+            img = r.integers(0, 255, (h, w, 3), np.uint8)
+            p = str(tmp_path / f"im{i}.png")
+            cv2.imwrite(p, img[..., ::-1])  # loader returns RGB
+            paths.append(p)
+            imgs.append(img)
+        loader = NativeImageLoader(paths, num_threads=2, lookahead=4)
+        maps = undistort_maps(K, self.DIST, h, w)
+        assert loader.set_undistort(*maps)
+        for i in (0, 2, 3, 1):  # includes an index possibly prefetched pre-maps
+            got = loader[i]
+            ref = cv2.undistort(imgs[i], K, self.DIST)
+            diff = np.abs(got.astype(int) - ref.astype(int))
+            # random image: cv2's fixed-point interpolation allows ~255/32
+            assert diff.max() <= 16, (i, diff.max())
+            assert (diff > 2).mean() < 0.08, i
+        loader.close()
