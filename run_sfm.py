@@ -158,11 +158,16 @@ def main():
     ap.add_argument("--stub-frontend", action="store_true")
     ap.add_argument("--stub-rows", type=int, default=6)
     ap.add_argument("--stub-cols", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the container sitecustomize "
+                         "pins the axon TPU; env vars alone don't override)")
     args = ap.parse_args()
 
     seed_everything()
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
