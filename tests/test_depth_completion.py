@@ -134,3 +134,51 @@ class TestMetrics:
         d = delta_metric(est, tgt)
         np.testing.assert_allclose(d["a1"], 2 / 3)  # <1.25: [1.0, 1.2]
         np.testing.assert_allclose(d["a5"], 1 / 3)
+
+
+class TestVoidDataset:
+    """VOID-format directory parsing (data/void.py vs reference
+    evaluate_void.py:87-116: /256 depth scale, [0.2, 5] gt range mask,
+    invalid gt -> inf, K.txt two levels up from the image)."""
+
+    def test_roundtrip(self, tmp_path):
+        import cv2
+
+        from super_primitive_tpu.data.void import VoidDataset
+
+        scene = tmp_path / "void" / "scene0" / "data"
+        for sub in ("image", "sparse_depth", "validity_map", "ground_truth"):
+            (scene / sub).mkdir(parents=True)
+        r = np.random.default_rng(0)
+        H, W = 48, 64
+        img = r.integers(0, 255, (H, W, 3), np.uint8)
+        gt = r.uniform(0.05, 6.0, (H, W)).astype(np.float32)
+        sparse = np.where(r.random((H, W)) < 0.02, gt, 0.0)
+        cv2.imwrite(str(scene / "image" / "0.png"), img[..., ::-1])
+        cv2.imwrite(str(scene / "sparse_depth" / "0.png"),
+                    (sparse * 256).astype(np.uint16))
+        cv2.imwrite(str(scene / "validity_map" / "0.png"),
+                    (sparse > 0).astype(np.uint16) * 256)
+        cv2.imwrite(str(scene / "ground_truth" / "0.png"),
+                    (gt * 256).astype(np.uint16))
+        K = np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]])
+        np.savetxt(str(scene / "K.txt"), K)
+        (tmp_path / "void" / "test_image.txt").write_text(
+            "scene0/data/image/0.png\n"
+        )
+
+        ds = VoidDataset(str(tmp_path / "void"))
+        assert len(ds) == 1
+        s = ds[0]
+        np.testing.assert_array_equal(s["image"], img)
+        np.testing.assert_allclose(s["sparse_depth"],
+                                   np.floor(sparse * 256) / 256, atol=1e-6)
+        np.testing.assert_allclose(s["intrinsics"], K)
+        # gt range mask [0.2, 5]; out-of-range -> inf
+        q = np.floor(gt * 256) / 256  # uint16 write truncates
+        in_range = (q > 0.2) & (q < 5.0)
+        np.testing.assert_array_equal(s["gt_valid"], in_range)
+        assert np.all(np.isinf(s["gt_depth"][~in_range]))
+        np.testing.assert_allclose(s["gt_depth"][in_range], q[in_range],
+                                   atol=1e-6)
+        np.testing.assert_array_equal(s["validity_map"], (sparse > 0) * 1.0)
