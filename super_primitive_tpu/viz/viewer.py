@@ -134,7 +134,7 @@ const ctr=[(lo[0]+hi[0])/2,(lo[1]+hi[1])/2,(lo[2]+hi[2])/2];
 let radius=Math.max(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2])||1;
 let theta=-0.5,phi=0.4,dist=radius*1.8,pan=[0,0],psize=2.0;
 function mat(){
-  const aspect=canvas.width/canvas.height,f=1.5,near=radius*.001,far=radius*40;
+  const aspect=canvas.width/canvas.height,f=1.5,near=radius*.01,far=radius*50;
   const ct=Math.cos(theta),st=Math.sin(theta),cp=Math.cos(phi),sp=Math.sin(phi);
   // camera position on orbit sphere (y-down world: flip y)
   const eye=[ctr[0]+dist*st*cp,ctr[1]-dist*sp,ctr[2]-dist*ct*cp];
