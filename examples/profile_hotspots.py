@@ -220,6 +220,30 @@ def main():
         sK = bench(solK, jnp.asarray(1e-3), label=f"solve_step x{KREP} (one dispatch)")
         print(f"{'solve_step marginal device':46s} {(sK - s1) / (KREP - 1):8.1f} ms")
 
+        # full chained iteration (assemble -> solve -> apply) WITHOUT the
+        # accept/reject tree-where — isolates the LM bookkeeping cost
+        from super_primitive_tpu.lie import se3 as _se3
+
+        def chain_body(carry, _):
+            ld, lam = carry
+            H, g, D, gl, Bs, cost = asm(ld)
+            d_theta, d_l = gm.solve_step(H, g, D, gl, Bs, lam, ld_w, par_mask, cmap)
+            return (ld + d_l * 1e-6, lam + 1e-30 * cost), ()
+
+        @jax.jit
+        def chain1():
+            (ld, _), _ = jax.lax.scan(chain_body, (buf.kp_logdepth, jnp.asarray(1e-3)), None, length=1)
+            return ld.sum()
+
+        @jax.jit
+        def chainK():
+            (ld, _), _ = jax.lax.scan(chain_body, (buf.kp_logdepth, jnp.asarray(1e-3)), None, length=KREP)
+            return ld.sum()
+
+        c1 = bench(chain1, label="asm+solve+apply x1 (dispatch)")
+        cK = bench(chainK, label=f"asm+solve+apply x{KREP} (one dispatch)")
+        print(f"{'asm+solve+apply marginal device':46s} {(cK - c1) / (KREP - 1):8.1f} ms")
+
     if args.part in ("map", "map2", "all"):
         print("== B. GN mapping bisection ==")
         import jax.numpy as jnp
