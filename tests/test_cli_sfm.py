@@ -115,3 +115,62 @@ class TestCliOdometry:
         # exported trajectory is TUM-format: 8 columns, parseable
         traj = np.loadtxt(os.path.join(out_dir, "converted_tum_traj.txt"))
         assert traj.ndim == 2 and traj.shape[1] == 8
+
+
+@pytest.fixture()
+def replica_dir(tum_dir, tmp_path):
+    """Replica-format mirror of the plane sequence: rgb/rgb_i.png,
+    depth/depth_i.png (/1000 scale), traj_w_c.txt of flattened 4x4 rows."""
+    ds = PlaneSequence(n_frames=4, H=64, W=96)
+    root = tmp_path / "replica_plane"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rows = []
+    for i in range(len(ds)):
+        fr = ds[i]
+        cv2.imwrite(str(root / "rgb" / f"rgb_{i}.png"), fr["image"][..., ::-1])
+        cv2.imwrite(
+            str(root / "depth" / f"depth_{i}.png"),
+            np.clip(fr["depth"] * 1000.0, 0, 65535).astype(np.uint16),
+        )
+        rows.append(" ".join(str(v) for v in fr["T"].reshape(-1)))
+    (root / "traj_w_c.txt").write_text("\n".join(rows))
+    return root, ds.K
+
+
+class TestCliTwoFrame:
+    def test_run_sfm_two_frame_subprocess(self, replica_dir, tmp_path):
+        root, K = replica_dir
+        out = tmp_path / "results_tf"
+        cfg = f"""
+save_path: {out}/
+dataset:
+  type: replica
+  path: {root}/
+  source_id: 0
+  target_id: 2
+  intrinsics: [{K[0,0]}, {K[1,1]}, {K[0,2]}, {K[1,2]}]
+frontend:
+  downsample_pow: 0
+alignment:
+  pyramid_min: 0
+  pyramid_max: 2
+"""
+        cfg_path = tmp_path / "tf_plane.yaml"
+        cfg_path.write_text(cfg)
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "run_sfm.py"), "--cpu",
+                "--config", str(cfg_path), "--stub-frontend",
+                "--stub-rows", "4", "--stub-cols", "5",
+            ],
+            cwd=REPO, capture_output=True, text=True, timeout=1200,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "two-frame SfM done" in proc.stdout, proc.stdout[-2000:]
+        err = float(proc.stdout.split("pose err |log|")[1].split()[0])
+        # GT+noise init (sigma 0.05) must not diverge; joint solve refines
+        assert err < 0.12, proc.stdout[-1500:]
+        assert os.path.exists(out / "src_pointcloud.ply")
+        res = np.load(out / "two_frame_result.npz")
+        assert np.all(np.isfinite(res["pose"])) and res["pose"].shape == (4, 4)
