@@ -242,6 +242,8 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
     predictor = SamPredictor(sam_params_tree, compute_dtype=jnp.bfloat16)
 
     def normals_fn(img01):
+        # fp32: NNET is memory-layout bound at this size (47 ms device,
+        # bf16 measured identical), so keep full precision
         return predict_normals(
             nnet_params, jnp.asarray(img01),
             tuple(config.frontend.normals.network_dim),

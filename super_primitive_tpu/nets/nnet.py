@@ -136,18 +136,32 @@ def preprocess(image_hwc01: jax.Array, network_dim: tuple[int, int]) -> jax.Arra
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("network_dim", "out_hw"))
-def _predict_normals_jit(params, image_hwc01, network_dim, out_hw):
+@functools.partial(
+    jax.jit, static_argnames=("network_dim", "out_hw", "compute_dtype")
+)
+def _predict_normals_jit(params, image_hwc01, network_dim, out_hw, compute_dtype):
     x = preprocess(image_hwc01, network_dim)[None]
-    out = NNET().apply(params, x)
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if a.dtype == jnp.float32 else a, params,
+        )
+        x = x.astype(compute_dtype)
+    out = NNET().apply(params, x).astype(jnp.float32)
     out = resize_bilinear_ac(out, out_hw)[0]
     return out[..., :3], out[..., 3:]
 
 
-def predict_normals(params, image_hwc01: jax.Array, network_dim=(480, 640)):
+def predict_normals(params, image_hwc01: jax.Array, network_dim=(480, 640),
+                    compute_dtype=None):
     """Run NNET, returning (normals (H, W, 3), kappa (H, W, 1)) resized back
     to the input resolution.  One jitted dispatch end to end — resize,
-    normalize, network and back-resize all fuse on device."""
+    normalize, network and back-resize all fuse on device.
+
+    ``compute_dtype=jnp.bfloat16`` runs the net at MXU rate (outputs are
+    re-normalized unit normals; bf16 noise ~2e-3 is far below the net's own
+    uncertainty).  None keeps float32 (checkpoint-validation parity)."""
     return _predict_normals_jit(
-        params, image_hwc01, tuple(network_dim), image_hwc01.shape[:2]
+        params, image_hwc01, tuple(network_dim), image_hwc01.shape[:2],
+        compute_dtype,
     )
