@@ -116,6 +116,18 @@ class TestCliOdometry:
         traj = np.loadtxt(os.path.join(out_dir, "converted_tum_traj.txt"))
         assert traj.ndim == 2 and traj.shape[1] == 8
 
+        # the standalone converter reproduces the export from the saved run
+        conv = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "convert_traj_to_tum.py"),
+                "--run", str(out_dir), "--config", str(cfg_path),
+            ],
+            cwd=REPO, capture_output=True, text=True, timeout=600,
+        )
+        assert conv.returncode == 0, conv.stderr[-2000:]
+        traj2 = np.loadtxt(os.path.join(out_dir, "converted_tum_traj.txt"))
+        np.testing.assert_allclose(traj2, traj, atol=1e-6)
+
 
 @pytest.fixture()
 def replica_dir(tum_dir, tmp_path):
