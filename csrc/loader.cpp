@@ -282,26 +282,34 @@ class Loader {
         idx = queue_.front();
         queue_.pop_front();
       }
-      Image img = decode_any(paths_[idx]);
-      // on the decode thread: prefetch hides the cost.  If set_undistort
-      // raced in between remap and store, redo with the fresh maps.
-      while (maybe_undistort(img) != undistort_gen())
-        img = decode_any(paths_[idx]);
-      {
-        std::lock_guard<std::mutex> lk(mu_);
-        done_[idx] = std::move(img);
-        // bound the cache: drop entries nobody is waiting on (and un-mark
-        // them as scheduled so later re-requests re-decode); never evict an
-        // awaited index — that would strand its blocked get() forever
-        size_t cap = (size_t)(4 * lookahead_ + 8);
-        for (auto it = done_.begin(); it != done_.end() && done_.size() > cap;) {
-          if (waiting_.count(it->first)) {
-            ++it;
-            continue;
+      // Decode + optional undistort on this thread (prefetch hides the
+      // cost).  The generation check and the store happen under ONE mu_
+      // hold — a set_undistort racing anywhere between the map read and
+      // the store forces a re-decode with the fresh maps instead of
+      // caching a stale-remapped image.
+      for (;;) {
+        Image img = decode_any(paths_[idx]);
+        int gen_used = maybe_undistort(img);
+        {
+          std::lock_guard<std::mutex> lk(mu_);
+          if (gen_used != undistort_gen_locked()) continue;
+          done_[idx] = std::move(img);
+          // bound the cache: drop entries nobody is waiting on (and
+          // un-mark them as scheduled so later re-requests re-decode);
+          // never evict an awaited index — that would strand its blocked
+          // get() forever
+          size_t cap = (size_t)(4 * lookahead_ + 8);
+          for (auto it = done_.begin();
+               it != done_.end() && done_.size() > cap;) {
+            if (waiting_.count(it->first)) {
+              ++it;
+              continue;
+            }
+            scheduled_.erase(it->first);
+            it = done_.erase(it);
           }
-          scheduled_.erase(it->first);
-          it = done_.erase(it);
         }
+        break;
       }
       cv_done_.notify_all();
     }
@@ -309,13 +317,14 @@ class Loader {
 
   // Optional in-pipeline undistortion (8-bit images of matching size only —
   // 16-bit depth passes through, matching the reference which undistorts
-  // the colour stream but not depth).  Returns the map generation used, so
-  // the store path can detect a set_undistort that raced the decode.
+  // the colour stream but not depth).  Map state lives under mu_; returns
+  // the map generation used so the store path (also under mu_) can detect a
+  // set_undistort that raced anywhere between the map read and the store.
   int maybe_undistort(Image& img) {
     std::vector<float> mx, my;
     int uh, uw, gen;
     {
-      std::lock_guard<std::mutex> lk(umu_);
+      std::lock_guard<std::mutex> lk(mu_);
       gen = ugen_;
       if (umap_x_.empty()) return gen;
       if (!img.ok || img.bytes_per_channel != 1 || img.height != u_h_ ||
@@ -333,25 +342,21 @@ class Loader {
     return gen;
   }
 
-  int undistort_gen() {
-    std::lock_guard<std::mutex> lk(umu_);
-    return ugen_;
-  }
+  // caller must hold mu_
+  int undistort_gen_locked() const { return ugen_; }
 
  public:
   void set_undistort(const float* map_x, const float* map_y, int h, int w) {
-    {
-      std::lock_guard<std::mutex> lk(umu_);
-      umap_x_.assign(map_x, map_x + (size_t)h * w);
-      umap_y_.assign(map_y, map_y + (size_t)h * w);
-      u_h_ = h;
-      u_w_ = w;
-      ugen_++;
-    }
+    std::lock_guard<std::mutex> lk(mu_);
+    umap_x_.assign(map_x, map_x + (size_t)h * w);
+    umap_y_.assign(map_y, map_y + (size_t)h * w);
+    u_h_ = h;
+    u_w_ = w;
+    ugen_++;
     // drop images decoded under the previous maps so they re-decode;
     // awaited entries are never evicted (their consumer already raced the
-    // map change — documented contract: attach maps before consuming)
-    std::lock_guard<std::mutex> lk(mu_);
+    // map change — documented contract: attach maps before consuming).
+    // In-flight decodes are handled by the store-time generation check.
     for (auto it = done_.begin(); it != done_.end();) {
       if (waiting_.count(it->first)) {
         ++it;
@@ -363,7 +368,6 @@ class Loader {
   }
 
  private:
-  std::mutex umu_;
   std::vector<float> umap_x_, umap_y_;
   int u_h_ = 0, u_w_ = 0;
   int ugen_ = 0;

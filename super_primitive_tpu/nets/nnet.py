@@ -142,14 +142,30 @@ import functools
 def _predict_normals_jit(params, image_hwc01, network_dim, out_hw, compute_dtype):
     x = preprocess(image_hwc01, network_dim)[None]
     if compute_dtype is not None:
-        params = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if a.dtype == jnp.float32 else a, params,
-        )
         x = x.astype(compute_dtype)
     out = NNET().apply(params, x).astype(jnp.float32)
     out = resize_bilinear_ac(out, out_hw)[0]
     return out[..., :3], out[..., 3:]
+
+
+# single-entry strong-ref cache: casting inside the jit would re-read the
+# full fp32 tree from HBM on every call and keep both copies resident (the
+# SamPredictor pre-casts for the same reason); the strong reference keeps
+# id(params) stable so the identity check is sound
+_cast_cache: dict = {}
+
+
+def _cast_params(params, dtype):
+    key = jnp.dtype(dtype).name
+    hit = _cast_cache.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    cast = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params
+    )
+    _cast_cache.clear()
+    _cast_cache[key] = (params, cast)
+    return cast
 
 
 def predict_normals(params, image_hwc01: jax.Array, network_dim=(480, 640),
@@ -161,6 +177,8 @@ def predict_normals(params, image_hwc01: jax.Array, network_dim=(480, 640),
     ``compute_dtype=jnp.bfloat16`` runs the net at MXU rate (outputs are
     re-normalized unit normals; bf16 noise ~2e-3 is far below the net's own
     uncertainty).  None keeps float32 (checkpoint-validation parity)."""
+    if compute_dtype is not None:
+        params = _cast_params(params, compute_dtype)
     return _predict_normals_jit(
         params, image_hwc01, tuple(network_dim), image_hwc01.shape[:2],
         compute_dtype,

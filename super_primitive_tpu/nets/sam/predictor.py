@@ -226,13 +226,8 @@ class SamPredictor:
             and getattr(self, "_last_image", None) is image_hwc_uint8
         ):
             return
-        # strong reference keeps the array alive, so the identity check can't
-        # alias a recycled id() of a garbage-collected previous image
-        self._last_image = image_hwc_uint8
         H, W = image_hwc_uint8.shape[:2]
-        self._orig_hw = (H, W)
         h2, w2 = get_preprocess_shape(H, W, self.target_length)
-        self._input_hw = (h2, w2)
         import cv2
 
         resized = cv2.resize(
@@ -241,6 +236,14 @@ class SamPredictor:
         self._features, self._preprocessed = self._encode_u8(
             self._enc_params, jnp.asarray(resized)
         )
+        # cache state only AFTER a successful encode: a transient encode
+        # failure must not leave the predictor claiming the new image while
+        # _features still holds the previous one.  The strong reference
+        # keeps the array alive, so the identity check can't alias a
+        # recycled id() of a garbage-collected previous image.
+        self._last_image = image_hwc_uint8
+        self._orig_hw = (H, W)
+        self._input_hw = (h2, w2)
 
     # ------------------------------------------------------------- predict
     def predict_batched_points(

@@ -32,7 +32,7 @@ from ..geometry import projection
 from ..image import pyramid as pyr
 from ..lie import se3
 from ..ops.scatter import render_depth
-from ..solve.gauss_newton import gn_track
+from ..solve.gauss_newton import gn_track_frame
 from . import kf_criteria
 from .mapper import run_supp_refinement_gn
 from .window import WindowBuffers
@@ -80,24 +80,16 @@ def fused_frame_step(
     kp_base = buffers.kp_base[i]
     K = buffers.K[i]
 
-    # ---- 1. coarse-to-fine GN tracking (gn_track_frame, in-graph) --------
+    # ---- 1. coarse-to-fine GN tracking (the same gn_track_frame the
+    # unfused path uses — one copy of the level loop to keep in sync) ------
     kf_pyr = pyr.image_pyramid(buffers.images[i], pyramid_min, pyramid_max)
     trg_pyr = pyr.image_pyramid(trg_image, pyramid_min, pyramid_max)
-    R = jnp.matmul(se3.inverse(T_init), T_kf, precision=jax.lax.Precision.HIGHEST)
-    affine = current_aff
-    track_cost = jnp.zeros(())
-    for lv in levels:
-        src = ph.precompute_source(kf_pyr[lv], bundle, geo_dims)
-        res = gn_track(
-            bundle, src, trg_pyr[lv], K, kp_ld, kp_base,
-            R, affine, kf_affine, geo_dims,
-            max_iters=max_iters, use_affine=use_affine,
-        )
-        R, affine = res.R, res.affine
-        track_cost = res.final_cost
-    T_frame = se3.renormalize(
-        jnp.matmul(T_kf, se3.inverse(R), precision=jax.lax.Precision.HIGHEST)
+    T_frame, affine, infos = gn_track_frame(
+        bundle, kf_pyr, trg_pyr, K, kp_ld, kp_base,
+        T_kf, T_init, kf_affine, current_aff, geo_dims,
+        levels=list(levels), max_iters=max_iters, use_affine=use_affine,
     )
+    track_cost = infos[-1].final_cost if infos else jnp.zeros(())
 
     # ---- 2. supporting-slot refresh (last two tracked frames) ------------
     # slot layout matches _refresh_latest_supp_from_tracked: with a previous

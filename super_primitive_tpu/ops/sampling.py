@@ -20,16 +20,12 @@ import jax.numpy as jnp
 VALID_BOUND = 0.99  # reference: |coord_norm| <= 0.99 validity (dense_optim.py:129)
 
 
-def bilinear_sample(image: jax.Array, coords_norm: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Sample ``image`` (H, W, C) at normalized (x, y) coords (..., N, 2).
+def _corner_taps(image: jax.Array, coords_norm: jax.Array):
+    """Shared 4-tap machinery: pixel mapping ((coord+1)/2 * (size-1)),
+    per-tap out-of-range zeroing, fractional weights, validity bound.
 
-    Returns (samples (..., N, C), valid (..., N) bool).
-
-    Semantics match ``grid_sample(align_corners=True, padding_mode='zeros')``:
-      pixel = (coord + 1)/2 * (size - 1); out-of-range taps contribute zero.
-    Validity additionally requires |coord_norm| <= 0.99 on both axes
-    (core/dense_optim.py:128-131).
-    """
+    Returns (v00, v01, v10, v11, wx, wy, valid) with the taps (..., N, C)
+    and weights (..., N, 1) in the image dtype."""
     H, W, C = image.shape
     x = (coords_norm[..., 0] + 1.0) * 0.5 * (W - 1)
     y = (coords_norm[..., 1] + 1.0) * 0.5 * (H - 1)
@@ -38,8 +34,8 @@ def bilinear_sample(image: jax.Array, coords_norm: jax.Array) -> tuple[jax.Array
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
+    wx = (x - x0)[..., None].astype(image.dtype)
+    wy = (y - y0)[..., None].astype(image.dtype)
 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
@@ -52,16 +48,40 @@ def bilinear_sample(image: jax.Array, coords_norm: jax.Array) -> tuple[jax.Array
         vals = jnp.take(flat, yi_c * W + xi_c, axis=0)
         return vals * inb[..., None].astype(image.dtype)
 
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x0i + 1)
-    v10 = tap(y0i + 1, x0i)
-    v11 = tap(y0i + 1, x0i + 1)
+    return (
+        tap(y0i, x0i), tap(y0i, x0i + 1),
+        tap(y0i + 1, x0i), tap(y0i + 1, x0i + 1),
+        wx, wy, valid,
+    )
 
-    wx = wx[..., None].astype(image.dtype)
-    wy = wy[..., None].astype(image.dtype)
+
+def _lerp_and_grad(v00, v01, v10, v11, wx, wy, H, W):
+    """Bilinear combine + the analytic in-cell derivative (w.r.t. the
+    NORMALIZED coordinates; chain through x_pix = (coord+1)/2 * (size-1))."""
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     samples = top * (1.0 - wy) + bot * wy
+    ddx = (v01 - v00) * (1.0 - wy) + (v11 - v10) * wy
+    ddy = (v10 - v00) * (1.0 - wx) + (v11 - v01) * wx
+    dval = jnp.stack(
+        [ddx * (0.5 * (W - 1)), ddy * (0.5 * (H - 1))], axis=-1
+    )
+    return samples, dval
+
+
+def bilinear_sample(image: jax.Array, coords_norm: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sample ``image`` (H, W, C) at normalized (x, y) coords (..., N, 2).
+
+    Returns (samples (..., N, C), valid (..., N) bool).
+
+    Semantics match ``grid_sample(align_corners=True, padding_mode='zeros')``:
+      pixel = (coord + 1)/2 * (size - 1); out-of-range taps contribute zero.
+    Validity additionally requires |coord_norm| <= 0.99 on both axes
+    (core/dense_optim.py:128-131).
+    """
+    H, W, _ = image.shape
+    v00, v01, v10, v11, wx, wy, valid = _corner_taps(image, coords_norm)
+    samples, _ = _lerp_and_grad(v00, v01, v10, v11, wx, wy, H, W)
     return samples, valid
 
 
@@ -78,45 +98,9 @@ def bilinear_sample_grad(
     Gauss-Newton linearizations (solve/gn_mapping.py) chain this with the
     closed-form projection/pose Jacobians.
     """
-    H, W, C = image.shape
-    x = (coords_norm[..., 0] + 1.0) * 0.5 * (W - 1)
-    y = (coords_norm[..., 1] + 1.0) * 0.5 * (H - 1)
-
-    valid = jnp.all(jnp.abs(coords_norm) <= VALID_BOUND, axis=-1)
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    def tap(yi, xi):
-        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        xi_c = jnp.clip(xi, 0, W - 1)
-        yi_c = jnp.clip(yi, 0, H - 1)
-        flat = image.reshape(H * W, C)
-        vals = jnp.take(flat, yi_c * W + xi_c, axis=0)
-        return vals * inb[..., None].astype(image.dtype)
-
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x0i + 1)
-    v10 = tap(y0i + 1, x0i)
-    v11 = tap(y0i + 1, x0i + 1)
-
-    wxc = wx[..., None].astype(image.dtype)
-    wyc = wy[..., None].astype(image.dtype)
-    top = v00 * (1.0 - wxc) + v01 * wxc
-    bot = v10 * (1.0 - wxc) + v11 * wxc
-    samples = top * (1.0 - wyc) + bot * wyc
-
-    # d/dx_pix and d/dy_pix of the interpolant inside the current cell
-    ddx = (v01 - v00) * (1.0 - wyc) + (v11 - v10) * wyc
-    ddy = (v10 - v00) * (1.0 - wxc) + (v11 - v01) * wxc
-    dval = jnp.stack(
-        [ddx * (0.5 * (W - 1)), ddy * (0.5 * (H - 1))], axis=-1
-    )  # chain through x_pix = (coord + 1)/2 * (size - 1)
+    H, W, _ = image.shape
+    v00, v01, v10, v11, wx, wy, valid = _corner_taps(image, coords_norm)
+    samples, dval = _lerp_and_grad(v00, v01, v10, v11, wx, wy, H, W)
     return samples, dval, valid
 
 
@@ -188,15 +172,7 @@ def bilinear_sample_grad_packed(
 
     wxc = wx[..., None].astype(packed.dtype)
     wyc = wy[..., None].astype(packed.dtype)
-    top = v00 * (1.0 - wxc) + v01 * wxc
-    bot = v10 * (1.0 - wxc) + v11 * wxc
-    samples = top * (1.0 - wyc) + bot * wyc
-
-    ddx = (v01 - v00) * (1.0 - wyc) + (v11 - v10) * wyc
-    ddy = (v10 - v00) * (1.0 - wxc) + (v11 - v01) * wxc
-    dval = jnp.stack(
-        [ddx * (0.5 * (W - 1)), ddy * (0.5 * (H - 1))], axis=-1
-    )
+    samples, dval = _lerp_and_grad(v00, v01, v10, v11, wxc, wyc, H, W)
     return samples, dval, valid
 
 

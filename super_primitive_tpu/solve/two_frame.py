@@ -133,10 +133,12 @@ def solve_two_frame(
             if snapshot_cb is not None and snapshot_every:
                 snapshot_cb(level, done, params, result.losses)
         if loss_history:
-            all_losses.append(
-                level_losses[0] if len(level_losses) == 1
-                else jnp.concatenate(level_losses)
-            )
+            if len(level_losses) == 1:
+                all_losses.append(level_losses[0])
+            elif level_losses:
+                all_losses.append(jnp.concatenate(level_losses))
+            else:  # num_iters == 0: empty history, params untouched
+                all_losses.append(jnp.zeros((0,)))
 
     return final_poses(params), params.kp_logdepth, all_losses
 
