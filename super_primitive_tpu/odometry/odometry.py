@@ -524,9 +524,11 @@ class Odometry:
             )
         self.buffers = mapper.write_back(self.buffers, result.params)
 
-        # host bookkeeping: poses + trajectories (odometery.py:948-967)
-        poses = np.asarray(self.buffers.poses)
-        lds = np.asarray(self.buffers.kp_logdepth)
+        # host bookkeeping: poses + trajectories (odometery.py:948-967);
+        # one batched fetch — each separate np.asarray pays a relay RTT
+        poses, lds = jax.device_get(
+            (self.buffers.poses, self.buffers.kp_logdepth)
+        )
         for i in range(self.num_kfs):
             self.host_kfs[i].pose = poses[i]
             n_i = self.host_kfs[i].kp_logdepth.shape[0]
