@@ -272,35 +272,42 @@ def assemble(
                 X, src_px, vstat, rel0, buffers.K[s], img, geo_dims,
                 affine[s], aff_t, use_affine, packed=True,
             )
-            # target-pose block from the source block
-            Ad_inv = adjoint(se3.inverse(rel0))
-            J_s = J[..., :6]
-            J_t = -jnp.einsum(
-                "pci,ij->pcj", J_s, Ad_inv,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            L = jnp.concatenate([J_s, J_t, J[..., 7:11]], axis=-1)
             ix = col16(s, t, B_pool)
-            L = L * par_mask[ix][None, None, :]
             j_l = J[..., 6]
+
+            # 10-column local basis [src pose 6 | affines 4]; the 16-column
+            # system (with the target-pose block J_t = -J_s Ad) is exactly
+            # T^T (.) T for T10->16 = [[I6, -Ad, 0], [0, 0, I4]], so the
+            # per-point reductions run at 10 columns and the expansion +
+            # par_mask happen on the tiny reduced objects afterwards —
+            # avoids materializing the (P, 3, 16) masked L/Lw entirely.
+            Ad_inv = adjoint(se3.inverse(rel0))
+            Tmat = jnp.zeros((10, 16))
+            Tmat = Tmat.at[:6, :6].set(jnp.eye(6))
+            Tmat = Tmat.at[:6, 6:12].set(-Ad_inv)
+            Tmat = Tmat.at[6:, 12:].set(jnp.eye(4))
+            Jsub = jnp.concatenate([J[..., :6], J[..., 7:11]], axis=-1)
 
             gvf = gv.astype(r0.dtype)
             w = gvf * valid[..., None] / jnp.maximum(jnp.abs(r0), 1e-3)
             w = w / (C * nv * cnt)  # per-src mean normalization
-            Lw = L * w[..., None]
-            H_loc = jnp.einsum(
-                "pci,pcj->ij", Lw, L, precision=jax.lax.Precision.HIGHEST
+            Jw = Jsub * w[..., None]
+            H10 = jnp.einsum(
+                "pci,pcj->ij", Jw, Jsub, precision=jax.lax.Precision.HIGHEST
             )
-            g_loc = jnp.einsum(
-                "pci,pc->i", Lw, r0, precision=jax.lax.Precision.HIGHEST
+            g10 = jnp.einsum(
+                "pci,pc->i", Jw, r0, precision=jax.lax.Precision.HIGHEST
             )
+            m = par_mask[ix]
+            H_loc = (Tmat.T @ H10 @ Tmat) * m[:, None] * m[None, :]
+            g_loc = (Tmat.T @ g10) * m
             d_pt = jnp.sum(w * j_l * j_l, axis=-1)          # (P,)
-            b_pt = jnp.sum(Lw * j_l[..., None], axis=1)     # (P, 16)
+            b_pt = jnp.sum(Jw * j_l[..., None], axis=1)     # (P, 10)
             gl_pt = jnp.sum(w * j_l * r0, axis=-1)          # (P,)
             cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
-            return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot
+            return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmat, cost_slot
 
-        H_loc, g_loc, d_pt, b_pt, gl_pt, ix, cost_slot = jax.vmap(one_slot)(
+        H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmats, cost_slot = jax.vmap(one_slot)(
             trg_index[s], g_valid[s], trg_packed[s], affine[trg_index[s]]
         )
 
@@ -310,14 +317,18 @@ def assemble(
         ).astype(jnp.float32)                               # (N, P)
         payload = jnp.concatenate(
             [d_pt[..., None], gl_pt[..., None], b_pt], axis=-1
-        )                                                    # (T, P, 18)
+        )                                                    # (T, P, 12)
         seg = jnp.einsum(
             "np,tpk->tnk", onehot, payload,
             precision=jax.lax.Precision.HIGHEST,
-        )                                                    # (T, N, 18)
+        )                                                    # (T, N, 12)
         D_s = jnp.sum(seg[..., 0], axis=0)                   # (N,)
         gl_s = jnp.sum(seg[..., 1], axis=0)                  # (N,)
-        bseg = seg[..., 2:]                                  # (T, N, 16)
+        # expand the reduced landmark-camera coupling to 16 columns + mask
+        bseg = jnp.einsum(
+            "tnk,tkj->tnj", seg[..., 2:], Tmats,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * jax.vmap(lambda i: par_mask[i])(ix)[:, None, :]  # (T, N, 16)
         b_src = jnp.sum(
             jnp.concatenate([bseg[..., 0:6], bseg[..., 12:14]], axis=-1),
             axis=0,
