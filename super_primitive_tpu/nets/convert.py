@@ -218,7 +218,11 @@ def convert_nnet(sd: dict) -> dict:
                 enc_s[dst] = {
                     "pw": {"bn": s1}, "dw_bn": s2, "pwl": {"bn": s3}
                 }
-    enc_cba("head", f"{E}.conv_head", f"{E}.bn2")
+    # features[11] is the raw conv_head output (pre-bn2/pre-act2): the
+    # reference Encoder.forward appends one feature per geffnet module and
+    # the decoder taps index 11 = conv_head (scannet_model.py:17-25,96).
+    # bn2/act2 feed only the removed classifier; their weights are unused.
+    enc_p["head_conv"] = _conv(sd, f"{E}.conv_head", bias=False)
     params["encoder"] = enc_p
     stats["encoder"] = enc_s
 

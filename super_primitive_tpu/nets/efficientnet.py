@@ -155,7 +155,12 @@ class EfficientNetFeatures(nn.Module):
     """Backbone emitting per-stage features.
 
     ``__call__`` returns (stage_outputs list of 7, head_output) where
-    head_output is the 1/32-res conv_head feature (2048ch for B5).
+    head_output is the 1/32-res conv_head feature (2048ch for B5),
+    **pre-bn2/pre-activation**: the reference's Encoder.forward appends one
+    entry per geffnet module (conv_stem, bn1, act1, blocks 0-6 = indices
+    4-10, conv_head = index 11, ...) and the decoder taps ``features[11]``
+    (scannet_model.py:17-25,96) — i.e. the raw conv_head output.  bn2/act2
+    only feed the (removed) classifier and are not part of this model.
     """
 
     width_mult: float = 1.6
@@ -181,5 +186,7 @@ class EfficientNetFeatures(nn.Module):
                     x = MBConv(out_ch, k, stride, e, name=f"blocks_{si}_{bi}")(x)
             stage_outputs.append(x)
 
-        head = ConvBnAct(self.head_ch, 1, name="head")(x)
+        head = nn.Conv(
+            self.head_ch, (1, 1), use_bias=False, name="head_conv"
+        )(x)
         return stage_outputs, head

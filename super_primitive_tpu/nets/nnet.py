@@ -96,11 +96,18 @@ class NNET(nn.Module):
     (out_res1, scannet_model.py:131-139)."""
 
     @nn.compact
-    def __call__(self, x):
-        stages, head = EfficientNetFeatures(name="encoder")(x)
-        # taps: stage0=24ch(1/2), stage1=40ch(1/4), stage2=64ch(1/8),
-        # stage4=176ch(1/16), head=2048ch(1/32)
-        b0, b1, b2, b3, b4 = stages[0], stages[1], stages[2], stages[4], head
+    def __call__(self, x, taps=None):
+        if taps is None:
+            stages, head = EfficientNetFeatures(name="encoder")(x)
+            # taps: stage0=24ch(1/2), stage1=40ch(1/4), stage2=64ch(1/8),
+            # stage4=176ch(1/16), head=2048ch(1/32, pre-bn2 conv_head)
+            b0, b1, b2, b3, b4 = stages[0], stages[1], stages[2], stages[4], head
+        else:
+            # decoder-only path: inject encoder taps directly.  Used by the
+            # offline cross-check against the reference's vendored torch
+            # decoder (scannet_model.py:53-139), the only real-architecture
+            # oracle available without the geffnet/segment_anything packages.
+            b0, b1, b2, b3, b4 = taps
 
         x_d0 = nn.Conv(2048, (1, 1), name="conv2")(b4)
         x_d1 = UpSampleBN(1024, name="up1")(x_d0, b3)
