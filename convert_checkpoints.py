@@ -43,9 +43,22 @@ def main():
                          "are installed")
     ap.add_argument("--image", default=None,
                     help="validation image path (default: synthetic)")
+    ap.add_argument("--sam-cfg", default="vit_h", choices=("vit_h", "tiny"),
+                    help="SAM encoder config; 'tiny' is for the offline "
+                         "day-0 rehearsal (day0_rehearsal.py)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for validation forwards")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from super_primitive_tpu.nets import convert
+    from super_primitive_tpu.nets.sam.image_encoder import VIT_H, VIT_TINY_TEST
+
+    sam_cfg = VIT_H if args.sam_cfg == "vit_h" else VIT_TINY_TEST
 
     image = None
     if args.image:
@@ -55,13 +68,13 @@ def main():
 
     if args.sam:
         sd = load_torch_state_dict(args.sam)
-        tree = convert.convert_sam(sd, depth=32)
+        tree = convert.convert_sam(sd, depth=sam_cfg.depth)
         np.savez_compressed(args.out_sam, tree=np.asarray(tree, dtype=object))
         print(f"SAM -> {args.out_sam}")
         if args.validate:
             from super_primitive_tpu.nets.validate import validate_sam
 
-            validate_sam(tree, ckpt_path=args.sam, image=image)
+            validate_sam(tree, ckpt_path=args.sam, image=image, cfg=sam_cfg)
     if args.nnet:
         sd = convert.strip_module_prefix(load_torch_state_dict(args.nnet))
         tree = convert.convert_nnet(sd)

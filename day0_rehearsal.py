@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Day-0 real-data rehearsal: drive download.sh's *post-fetch* pipeline end
+to end without network (VERDICT r2 #9).
+
+Builds a fixture tree mimicking the HuggingFace layout —
+
+    models/sam_vit_h_4b8939.pth       (synthetic weights, published naming)
+    models/scannet.pth                (synthetic weights, published naming)
+    datasets/TUM_fr1/rgbd_dataset_freiburg1_desk/   (rendered TUM-format)
+
+— then runs the exact commands the first networked minute will run:
+
+    1. convert_checkpoints.py --sam ... --nnet ... --validate
+    2. converted .npz trees -> the REAL Flax SamPredictor + NNET (one
+       forward each, shape/finite checks)
+    3. run_sfm.py --odom over the TUM tree -> Sim(3) ATE (asserted < 0.05)
+
+So with real checkpoints/data the same flow produces the fr1 ATE table
+instead of debugging plumbing.  The only differences vs the real run:
+--sam-cfg tiny (a full ViT-H state dict is 2.4 GB of random numbers for no
+extra plumbing coverage) and --stub-frontend in step 3 (random weights
+cannot segment).
+
+Usage:  python day0_rehearsal.py [--dir /tmp/day0] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def sh(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def build_fixture_tree(root: str) -> dict:
+    """models/*.pth + datasets/TUM_fr1/rgbd_dataset_freiburg1_desk/."""
+    import cv2
+    import torch
+    from scipy.spatial.transform import Rotation
+
+    from super_primitive_tpu.data.synthetic import PlanesSequence
+    from super_primitive_tpu.nets.sam.image_encoder import VIT_TINY_TEST
+    from super_primitive_tpu.nets.synth import (
+        synth_nnet_state_dict,
+        synth_sam_state_dict,
+    )
+
+    models = os.path.join(root, "models")
+    seq_dir = os.path.join(
+        root, "datasets", "TUM_fr1", "rgbd_dataset_freiburg1_desk"
+    )
+    os.makedirs(models, exist_ok=True)
+    for sub in ("rgb", "depth"):
+        os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "results"), exist_ok=True)
+
+    sam_pth = os.path.join(models, "sam_vit_h_4b8939.pth")
+    nnet_pth = os.path.join(models, "scannet.pth")
+    torch.save(synth_sam_state_dict(VIT_TINY_TEST), sam_pth)
+    # the published scannet.pth wraps {model: {module.* keys}}
+    torch.save(
+        {"model": {f"module.{k}": torch.from_numpy(v)
+                   for k, v in synth_nnet_state_dict().items()}},
+        nnet_pth,
+    )
+
+    ds = PlanesSequence(n_frames=8, H=64, W=96, step=0.045)
+    assoc, gt = [], ["# ground truth trajectory"]
+    for i in range(len(ds)):
+        fr = ds[i]
+        ts = f"{float(i):.6f}"
+        rgb8 = (np.clip(fr["image"], 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(seq_dir, "rgb", f"{i}.png"), rgb8[..., ::-1])
+        cv2.imwrite(
+            os.path.join(seq_dir, "depth", f"{i}.png"),
+            np.clip(fr["depth"] * 5000.0, 0, 65535).astype(np.uint16),
+        )
+        assoc.append(f"{ts} rgb/{i}.png {ts} depth/{i}.png")
+        T = fr["T"]
+        q = Rotation.from_matrix(T[:3, :3]).as_quat()
+        t = T[:3, 3]
+        gt.append(f"{ts} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}")
+    with open(os.path.join(seq_dir, "associations.txt"), "w") as f:
+        f.write("\n".join(assoc))
+    with open(os.path.join(seq_dir, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(gt))
+    return {
+        "sam_pth": sam_pth, "nnet_pth": nnet_pth, "seq_dir": seq_dir,
+        "K": np.asarray(ds[0]["intrinsics"]),
+    }
+
+
+def drive_converted_nets(sam_npz: str, nnet_npz: str) -> None:
+    """Feed the converted .npz trees through the real inference classes."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_primitive_tpu.nets.nnet import predict_normals
+    from super_primitive_tpu.nets.sam.image_encoder import VIT_TINY_TEST
+    from super_primitive_tpu.nets.sam.predictor import SamPredictor
+
+    sam_tree = np.load(sam_npz, allow_pickle=True)["tree"].item()
+    nnet_tree = np.load(nnet_npz, allow_pickle=True)["tree"].item()
+
+    predictor = SamPredictor(sam_tree, VIT_TINY_TEST)
+    img = np.random.default_rng(0).integers(0, 255, (48, 64, 3), np.uint8)
+    predictor.set_image(img)
+    out = predictor.predict_points_with_stats(
+        np.asarray([[20.0, 10.0], [40.0, 30.0]]), out_size=32
+    )
+    leaves = jax.tree.leaves(out)
+    assert all(np.all(np.isfinite(np.asarray(x, np.float32))) for x in leaves)
+    print("SAM npz -> SamPredictor OK")
+
+    nnet_params = jax.tree.map(jnp.asarray, nnet_tree)
+    n, k = predict_normals(
+        nnet_params, jnp.asarray(img.astype(np.float32) / 255.0),
+        network_dim=(64, 96),
+    )
+    assert np.all(np.isfinite(np.asarray(n))) and np.all(np.asarray(k) > 0)
+    print("NNET npz -> predict_normals OK")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default=None, help="fixture root (default tmp)")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    # plumbing rehearsal: CPU everywhere (run_sfm gets --cpu below; the
+    # in-process net drives force it here, before first backend use)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    root = args.dir or tempfile.mkdtemp(prefix="day0_rehearsal_")
+    os.makedirs(root, exist_ok=True)
+    print(f"fixture root: {root}")
+    fx = build_fixture_tree(root)
+    sam_npz = os.path.join(root, "models", "sam_vit_h.npz")
+    nnet_npz = os.path.join(root, "models", "nnet_scannet.npz")
+
+    # 1. the download.sh conversion command (tiny SAM config; the real run
+    #    just omits --sam-cfg)
+    sh([
+        sys.executable, "convert_checkpoints.py",
+        "--sam", fx["sam_pth"], "--out-sam", sam_npz,
+        "--nnet", fx["nnet_pth"], "--out-nnet", nnet_npz,
+        "--validate", "--sam-cfg", "tiny", "--cpu",
+    ])
+
+    # 2. converted trees through the real inference stack
+    drive_converted_nets(sam_npz, nnet_npz)
+
+    # 3. run_sfm --odom over the TUM-layout tree + built-in Sim(3) ATE
+    K = fx["K"]
+    out_dir = os.path.join(root, "results", "desk")
+    cfg = f"""
+save_path: {out_dir}/
+dataset:
+  type: tum
+  path: {fx['seq_dir']}/
+  traj_file: {fx['seq_dir']}/groundtruth.txt
+  intrinsics: [{K[0, 0]}, {K[1, 1]}, {K[0, 2]}, {K[1, 2]}]
+frontend:
+  downsample_pow: 0
+alignment:
+  opt_supporting: true
+  mapping: {{supp_every_n: 2, init_steps: 40, steps: 30, continual_steps: 4,
+            solver: gn, gn_max_iters: 8}}
+  mono_init: false
+  affine_compensation: false
+  pyramid_min: 0
+  pyramid_max: 1
+  track: {{lr: 0.005, pyramid_min: 0, pyramid_max: 2, steps: [0, 40],
+          solver: gn, gn_max_iters: 10}}
+  init_frames: 3
+kf: {{depth_validity_ratio: 0.70, translation_thresh: 0.02}}
+window_size: 4
+"""
+    cfg_path = os.path.join(root, "odom_desk_rehearsal.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    proc = sh(
+        [sys.executable, "run_sfm.py", "--cpu", "--config", cfg_path,
+         "--odom", "--stub-frontend", "--stub-rows", "4", "--stub-cols", "5",
+         "--max-frames", "8"],
+        capture_output=True, text=True,
+    )
+    sys.stdout.write(proc.stdout[-1500:])
+    rmse = float(proc.stdout.split("ATE RMSE (Sim3):")[1].split("m")[0])
+    assert rmse < 0.05, f"rehearsal ATE too high: {rmse}"
+    print(f"day0_rehearsal OK: ATE RMSE {rmse:.4f} m (root: {root})")
+    if not args.keep and args.dir is None:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

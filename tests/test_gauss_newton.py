@@ -71,7 +71,7 @@ class TestGNTrack:
         err_adam = pose_err(T_adam, gt_frame)
         err_gn = pose_err(T_gn, gt_frame)
         total_gn_iters = sum(int(i.num_iters) for i in infos)
-        assert err_gn <= err_adam * 1.5, (err_gn, err_adam)
+        assert err_gn <= err_adam * 1.1, (err_gn, err_adam)
         assert total_gn_iters <= 25, total_gn_iters
 
     def test_robust_modes_run(self):

@@ -169,6 +169,40 @@ class TestShardedGNMapping:
             rtol=1e-3,
         )
 
+    def test_sharded_fused_step_matches_unsharded(self, window_setup, mesh):
+        """The fused steady-state frame step (track + supp refresh + supp
+        refinement + gating in one dispatch) under the mesh: sp-sharded
+        bundle gathers and reductions must reproduce the single-device
+        numbers (guards the whole per-frame path, VERDICT r2 #8)."""
+        from super_primitive_tpu.odometry.fused_step import fused_frame_step
+
+        buf, _, geo_dims = window_setup
+        trg_image = jnp.asarray(np.asarray(buf.supp_images[2, 0]))
+        supp_valid = np.zeros_like(np.asarray(buf.supp_valid))
+        supp_valid[2, 0] = True
+        slots = mapper.build_slots(3, 3, supp_valid, "supp")
+        args = (
+            jnp.asarray(2), trg_image,
+            jnp.asarray(np.asarray(buf.poses[2]), jnp.float32),
+            jnp.zeros(2), trg_image, jnp.eye(4), jnp.zeros(2),
+            jnp.asarray(False),
+            jnp.asarray(slots.trg_index[2]), jnp.asarray(slots.trg_valid[2]),
+            geo_dims, (0, 1), 0, 2,
+        )
+        kw = dict(max_iters=4, supp_max_iters=3, use_affine=False)
+        _, packed_plain, ld_plain = fused_frame_step(buf, *args, **kw)
+        with mesh:
+            _, packed_shard, ld_shard = fused_frame_step(
+                shard_window(buf, mesh), *args, **kw
+            )
+        np.testing.assert_allclose(
+            np.asarray(packed_plain), np.asarray(packed_shard),
+            atol=1e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ld_plain), np.asarray(ld_shard), atol=1e-4
+        )
+
     def test_collectives_present(self, window_setup, mesh):
         """Prove the sharded solve actually distributes: the compiled HLO
         must contain cross-device all-reduces."""

@@ -153,6 +153,31 @@ class TestOdometryGNFused:
         )
 
 
+class TestSolverEquivalence:
+    """GN must match Adam's *accuracy* end-to-end, not just its cost — the
+    evidence behind running the performance path by default (VERDICT r2 #3).
+    Both fixtures run the identical rendered sequence; compare Sim(3) ATE."""
+
+    def test_track_ate_gn_within_10pct_of_adam(self, odom_result, odom_result_gn):
+        from super_primitive_tpu.eval.trajectory import ate_rmse
+
+        ds, odom_adam, _ = odom_result
+        _, odom_gn, _ = odom_result_gn
+        tr_a = odom_adam.global_track_trajectory
+        tr_g = odom_gn.global_track_trajectory
+        ate_a = ate_rmse({k: ds.poses[int(k)] for k in tr_a}, tr_a)["rmse"]
+        ate_g = ate_rmse({k: ds.poses[int(k)] for k in tr_g}, tr_g)["rmse"]
+        # measured: gn 0.0018 vs adam 0.0021 (gn better); bound per VERDICT
+        assert ate_g <= 1.1 * ate_a, (ate_g, ate_a)
+
+    def test_kf_pose_error_gn_within_10pct_of_adam(self, odom_result, odom_result_gn):
+        ds, _, traj_a = odom_result
+        _, _, traj_g = odom_result_gn
+        med_a = np.median([pose_err(T, ds.poses[int(ts)]) for ts, T in traj_a.items()])
+        med_g = np.median([pose_err(T, ds.poses[int(ts)]) for ts, T in traj_g.items()])
+        assert med_g <= 1.1 * med_a, (med_g, med_a)
+
+
 class TestOdometry:
     def test_runs_and_tracks(self, odom_result):
         ds, odom, traj = odom_result
