@@ -48,13 +48,44 @@ class SourceSamples(NamedTuple):
     valid: jax.Array    # (P,) bool — |coord| <= 0.99 & bundle validity
 
 
+@jax.custom_vjp
+def _spread_gather(shift: jax.Array, seg_id: jax.Array) -> jax.Array:
+    """shift (N,)[seg_id] with an MXU-friendly VJP.
+
+    The gather's default transpose is a scatter-add of P point-cotangents
+    into N segment bins, which serializes on TPU; the one-hot contraction
+    computes the same segment-sum on the MXU (the trick the GN landmark
+    reductions use, solve/gn_mapping.py:315-322).  The one-hot is built
+    from loop-invariant ``seg_id``, so XLA hoists it out of optimizer
+    loops."""
+    return shift[seg_id]
+
+
+def _spread_gather_fwd(shift, seg_id):
+    return shift[seg_id], (seg_id, shift.shape[-1])
+
+
+def _spread_gather_bwd(res, g):
+    import numpy as _np
+
+    seg_id, n = res
+    onehot = (jnp.arange(n)[:, None] == seg_id[None, :]).astype(g.dtype)
+    g_shift = jnp.einsum(
+        "np,...p->...n", onehot, g, precision=jax.lax.Precision.HIGHEST
+    )
+    return g_shift, _np.zeros(seg_id.shape, dtype=jax.dtypes.float0)
+
+
+_spread_gather.defvjp(_spread_gather_fwd, _spread_gather_bwd)
+
+
 def spread_logdepth(
     bundle: PointBundle, kp_logdepth: jax.Array, kp_base_logdepth: jax.Array
 ) -> jax.Array:
     """Per-point log-depth from per-segment scalars (infer_depth_seeds,
     core/dense_optim.py:38-80): base + (kp_logdepth - kp_base_logdepth)[seg]."""
     shift = kp_logdepth - kp_base_logdepth
-    return bundle.base_logdepth + shift[bundle.seg_id]
+    return bundle.base_logdepth + _spread_gather(shift, bundle.seg_id)
 
 
 def normalized_image_coords(uv: jax.Array, geo_dims: tuple[int, int]) -> jax.Array:

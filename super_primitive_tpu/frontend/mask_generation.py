@@ -279,6 +279,12 @@ def infer_masks(
         keypoints = (rng.random((num_pts, 2)) * 2 - 1).astype(np.float32)
 
     def run_round(kps):
+        if getattr(predict_fn, "select_round", None) and sam_params.select_smallest:
+            # device-side selection fast path: filtering/smallest-pick/boxes
+            # happen inside the decode dispatch; only NMS survivors are
+            # shipped (nets/sam/predictor.predict_points_select)
+            sel = predict_fn.select_round(image, kps, sam_params)
+            return sel, kps[sel["keypoints_ids"]]
         out = predict_fn(image, kps)
         stability = areas = None
         if len(out) == 4:  # device fast path with precomputed statistics

@@ -249,16 +249,34 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
             tuple(config.frontend.normals.network_dim),
         )
 
-    def mask_predict_fn(image_uint8, kps_norm):
-        """Fast path: binary masks at ~1/4 SAM resolution plus device-side
-        full-resolution stability/area statistics — avoids shipping
-        full-res float logits to the host (~500x less transfer)."""
+    def _to_input_xy(image_uint8, kps_norm):
         predictor.set_image(image_uint8)
         h2, w2 = predictor._input_hw
         # keypoints normalized (row, col) -> input-frame (x, y) pixels
         dims = np.asarray([h2, w2], np.float32)
         rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
-        xy = np.round(rc[:, ::-1])
+        return np.round(rc[:, ::-1])
+
+    def mask_predict_fn(image_uint8, kps_norm):
+        """Fast path: binary masks at ~1/4 SAM resolution plus device-side
+        full-resolution stability/area statistics — avoids shipping
+        full-res float logits to the host (~500x less transfer)."""
+        xy = _to_input_xy(image_uint8, kps_norm)
         return predictor.predict_points_with_stats(xy, out_size=256)
 
+    def select_round(image_uint8, kps_norm, sam_params):
+        """Faster path: selection + NMS scoring on device, ship only the
+        NMS survivors bit-packed (mask_generation.run_round protocol)."""
+        xy = _to_input_xy(image_uint8, kps_norm)
+        return predictor.predict_points_select(
+            xy,
+            iou_threshold=sam_params.iou_threshold,
+            stability_threshold=sam_params.stability_threshold,
+            nms_enabled=sam_params.nms,
+            box_nms_thresh=sam_params.box_nms_thresh,
+            filter_by_box_size=sam_params.filter_by_box_size,
+            out_size=256,
+        )
+
+    mask_predict_fn.select_round = select_round
     return FrontProcessor(config, normals_fn, mask_predict_fn)

@@ -32,10 +32,18 @@ class ViTConfig:
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
     out_chans: int = 256
-    # implementation choice for the GLOBAL attention blocks (windowed blocks
-    # always use "xla" — 196-token windows are too small for flash to pay);
-    # same parameters, same math, different lowering.  See GLOBAL_ATTN_IMPLS.
+    # implementation choice for the GLOBAL attention blocks; same
+    # parameters, same math, different lowering.  See GLOBAL_ATTN_IMPLS.
     global_attn_impl: str = "xla"
+    # lowering for the WINDOWED blocks ("xla" materialized bias or "ext"
+    # extended-head matmul; flash never pays at 196-token windows)
+    windowed_attn_impl: str = "xla"
+    # keep the tensor in window layout across each consecutive run of
+    # windowed blocks (partition once per run instead of per block); the
+    # pad-region is re-zeroed after every norm1 so the math is exactly the
+    # per-block partition semantics.  Trades 2 layout transposes per block
+    # for MLP work on the (~20%) padded tokens.
+    persistent_windows: bool = False
 
 
 VIT_H = ViTConfig()
@@ -165,6 +173,10 @@ class Attention(nn.Module):
             attn = jnp.einsum("bqc,bkc->bqk", q_ext, k_ext)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        elif self.impl == "skip":
+            # profiling ablation ONLY: keep the qkv/proj matmuls, skip the
+            # score/softmax/AV math (bounds the attention cost by difference)
+            out = v
         elif self.impl == "flash":
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,
@@ -211,23 +223,30 @@ def window_unpartition(windows, window, pad_hw, hw):
 class Block(nn.Module):
     cfg: ViTConfig
     window_size: int  # 0 = global
+    pre_windowed: bool = False  # input already in (B*nw, ws, ws, C) layout
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pad_mask=None):
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         if self.window_size > 0:
-            H, W = h.shape[1], h.shape[2]
-            h, pad_hw = window_partition(h, self.window_size)
             size = (self.window_size, self.window_size)
-            impl = "xla"
+            impl = self.cfg.windowed_attn_impl
+            if self.pre_windowed:
+                # persistent window layout: re-zero the pad region so the
+                # attention sees exactly the zeros that a fresh
+                # window_partition of the normed tensor would pad with
+                h = h * pad_mask
+            else:
+                H, W = h.shape[1], h.shape[2]
+                h, pad_hw = window_partition(h, self.window_size)
         else:
             size = (h.shape[1], h.shape[2])
             impl = self.cfg.global_attn_impl
         h = Attention(
             self.cfg.num_heads, input_size=size, impl=impl, name="attn"
         )(h)
-        if self.window_size > 0:
+        if self.window_size > 0 and not self.pre_windowed:
             h = window_unpartition(h, self.window_size, pad_hw, (x.shape[1], x.shape[2]))
         x = shortcut + h
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
@@ -253,9 +272,34 @@ class ImageEncoderViT(nn.Module):
             "pos_embed", nn.initializers.zeros, (1, S, S, cfg.embed_dim)
         )
         x = x + pos
-        for i in range(cfg.depth):
-            ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
-            x = Block(cfg, ws, name=f"block{i}")(x)
+        if not cfg.persistent_windows:
+            for i in range(cfg.depth):
+                ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+                x = Block(cfg, ws, name=f"block{i}")(x)
+        else:
+            # partition once per consecutive run of windowed blocks; the
+            # per-block pad re-zeroing in Block keeps the math identical to
+            # the per-block partition scheme (asserted in tests)
+            H, W = x.shape[1], x.shape[2]
+            ws = cfg.window_size
+            i = 0
+            while i < cfg.depth:
+                if i in cfg.global_attn_indexes:
+                    x = Block(cfg, 0, name=f"block{i}")(x)
+                    i += 1
+                    continue
+                j = i
+                while j < cfg.depth and j not in cfg.global_attn_indexes:
+                    j += 1
+                xw, pad_hw = window_partition(x, ws)
+                ones = jnp.ones((x.shape[0], H, W, 1), x.dtype)
+                pad_mask, _ = window_partition(ones, ws)
+                for k in range(i, j):
+                    xw = Block(cfg, ws, pre_windowed=True, name=f"block{k}")(
+                        xw, pad_mask
+                    )
+                x = window_unpartition(xw, ws, pad_hw, (H, W))
+                i = j
         # neck: conv1x1 -> LN -> conv3x3 -> LN
         x = nn.Conv(cfg.out_chans, (1, 1), use_bias=False, name="neck_conv1")(x)
         x = LayerNorm2d(name="neck_ln1")(x)

@@ -210,10 +210,82 @@ class SamPredictor:
                 areas.reshape(B, M),
             )
 
+        @functools.partial(jax.jit, static_argnames=("out_size",))
+        def _decode_select(params, features, points, labels, input_hw,
+                           out_size, iou_thr, stab_thr):
+            """Decode + the amg smallest-good selection ON DEVICE.
+
+            Mirrors frontend.mask_generation.smallest_good_mask_batch
+            (reference mask_generation.py:13-95) for select_smallest=True:
+            per-candidate IoU/stability filter (full-resolution stats via
+            phase decomposition), keypoint valid iff any good candidate,
+            pick the smallest good mask by full-res pixel area.  Returns the
+            PICKED mask only (bit-packed, device-resident until the NMS
+            survivors are known) plus the scalars the host needs for NMS —
+            so only ~kept masks ever cross the relay (VERDICT r2 #2).
+            """
+            lowres, iou = _decode(params, features, points, labels)
+            lowres = lowres[:, 1:]
+            iou = iou[:, 1:]
+            B, M = lowres.shape[:2]
+            S = lowres.shape[-1]
+            s = self.target_length // S
+            stability, areas = _phase_upsample_counts(
+                lowres.reshape(B * M, S, S), s, input_hw
+            )
+            stability = stability.reshape(B, M)
+            areas = areas.reshape(B, M)
+
+            good = jnp.ones((B, M), bool)
+            good = jnp.where(iou_thr > 0, good & (iou > iou_thr), good)
+            good = jnp.where(stab_thr > 0, good & (stability >= stab_thr), good)
+            kp_valid = good.any(axis=1)
+            sizes = jnp.where(good, areas.astype(jnp.float32), 1e6)
+            pick = jnp.argmin(sizes, axis=1)
+            ar = jnp.arange(B)
+            picked = lowres[ar, pick]
+            iou_pick = iou[ar, pick]
+
+            if out_size == S:
+                xb = picked
+            else:
+                xb = jax.image.resize(
+                    picked[..., None], (B, out_size, out_size, 1), "bilinear"
+                )[..., 0]
+            scale = self.target_length / out_size
+            row_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[0]
+            col_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[1]
+            region = row_ok[:, None] & col_ok[None, :]
+            masks_bin = (xb > MASK_THRESHOLD) & region
+            packed = _packbits_lastaxis(masks_bin)
+
+            # xyxy boxes on the out_size grid (amg batched_mask_to_box:
+            # zeros for empty masks)
+            any_r = masks_bin.any(axis=2)
+            any_c = masks_bin.any(axis=1)
+            nonempty = any_r.any(axis=1)
+
+            def first_last(a):
+                first = jnp.argmax(a, axis=1)
+                last = a.shape[1] - 1 - jnp.argmax(a[:, ::-1], axis=1)
+                return first, last
+
+            r0, r1 = first_last(any_r)
+            c0, c1 = first_last(any_c)
+            boxes = jnp.stack([c0, r0, c1 + 1, r1 + 1], axis=1).astype(jnp.float32)
+            boxes = jnp.where(nonempty[:, None], boxes, 0.0)
+            return packed, iou_pick, kp_valid, boxes, pick
+
+        @jax.jit
+        def _gather_rows(packed, idx):
+            return packed[idx]
+
         self._encode = _encode
         self._encode_u8 = _encode_u8
         self._decode = _decode
         self._decode_stats = _decode_stats
+        self._decode_select = _decode_select
+        self._gather_rows = _gather_rows
 
     # -------------------------------------------------------------- image
     def set_image(self, image_hwc_uint8: np.ndarray):
@@ -338,6 +410,116 @@ class SamPredictor:
             np.concatenate(out["masks"]), np.concatenate(out["iou"]),
             np.concatenate(out["stab"]), np.concatenate(out["area"]),
         )
+
+    def predict_points_select(
+        self,
+        points_input_frame: np.ndarray,
+        iou_threshold: float = 0.0,
+        stability_threshold: float = 0.90,
+        nms_enabled: bool = True,
+        box_nms_thresh: float = 0.8,
+        filter_by_box_size: bool = True,
+        out_size: int = 256,
+        chunk: int = 128,
+    ) -> dict:
+        """Full smallest-good selection round with survivor-only transfer.
+
+        Device computes IoU/stability filtering, smallest-good pick, areas
+        and boxes inside the decode dispatch; the host fetches only the
+        per-keypoint scalars (iou/valid/box ~ 3 KB), runs box NMS, then
+        gathers the ~kept bit-packed masks — several-fold less relay
+        traffic than shipping all 3B candidate masks.  Equivalent to
+        smallest_good_mask_batch + nms on the host
+        (tests/test_sam_pipeline.py asserts equality).
+
+        Returns the selection dict of mask_generation.run_round: masks
+        (M, h, w) bool at working resolution, iou_preds, keypoints_ids
+        (original prompt indices, NMS score order), boxes, masks_ids.
+        """
+        assert self._features is not None, "call set_image first"
+        h2, w2 = self._input_hw
+        hs = int(round(h2 * out_size / self.target_length))
+        ws = int(round(w2 * out_size / self.target_length))
+        pts_all = np.asarray(points_input_frame, np.float32)
+        B = pts_all.shape[0]
+        input_hw = jnp.asarray([h2, w2])
+        iou_thr = jnp.asarray(iou_threshold, jnp.float32)
+        stab_thr = jnp.asarray(stability_threshold, jnp.float32)
+
+        pending = []
+        for lo in range(0, B, chunk):
+            part = pts_all[lo : lo + chunk]
+            n = part.shape[0]
+            if n < chunk:
+                part = np.concatenate(
+                    [part, np.zeros((chunk - n, 2), np.float32)], axis=0
+                )
+            pts = jnp.asarray(part)[:, None, :]
+            pts = jnp.concatenate([pts, jnp.zeros_like(pts)], axis=1)
+            labels = jnp.concatenate(
+                [jnp.ones((chunk, 1)), -jnp.ones((chunk, 1))], axis=1
+            )
+            pending.append(
+                (lo, n, self._decode_select(
+                    self.params, self._features, pts, labels, input_hw,
+                    out_size, iou_thr, stab_thr,
+                ))
+            )
+        iou_l, valid_l, boxes_l, pick_l = [], [], [], []
+        packed_chunks = []
+        for lo, n, (packed, iou_pick, kp_valid, boxes, pick) in pending:
+            packed_chunks.append((lo, n, packed))  # stays on device
+            iou_l.append(np.asarray(iou_pick[:n]))
+            valid_l.append(np.asarray(kp_valid[:n]))
+            boxes_l.append(np.asarray(boxes[:n]))
+            pick_l.append(np.asarray(pick[:n]))
+        iou_all = np.concatenate(iou_l)
+        valid = np.concatenate(valid_l)
+        boxes_all = np.concatenate(boxes_l)
+        pick_all = np.concatenate(pick_l)
+
+        kp_ids = np.nonzero(valid)[0]
+        if nms_enabled and kp_ids.size:
+            from ...frontend.mask_generation import nms as _nms
+
+            boxes_v = boxes_all[kp_ids]
+            area = np.prod(boxes_v[:, 2:] - boxes_v[:, :2], axis=-1)
+            scores = (
+                1.0 / np.maximum(area, 1e-9)
+                if filter_by_box_size else iou_all[kp_ids]
+            )
+            keep = _nms(boxes_v, scores, box_nms_thresh)
+            sel_ids = kp_ids[keep]
+        else:
+            sel_ids = kp_ids
+
+        # survivor fetch: padded gathers per chunk (dispatch all, then read)
+        BUCKET = 64
+        fetches = []
+        for lo, n, packed in packed_chunks:
+            rows = sel_ids[(sel_ids >= lo) & (sel_ids < lo + n)] - lo
+            if rows.size == 0:
+                continue
+            cap = -(-rows.size // BUCKET) * BUCKET
+            pad_rows = np.zeros(cap, np.int32)
+            pad_rows[: rows.size] = rows
+            fetches.append(
+                (lo, rows, self._gather_rows(packed, jnp.asarray(pad_rows)))
+            )
+        order_pos = {int(g): i for i, g in enumerate(sel_ids)}
+        masks = np.zeros((sel_ids.size, hs, ws), bool)
+        for lo, rows, got in fetches:
+            bits = np.unpackbits(np.asarray(got[: rows.size]), axis=-1)
+            bits = bits[:, :hs, :ws].astype(bool)
+            for r, m in zip(rows, bits):
+                masks[order_pos[int(r) + lo]] = m
+        return {
+            "masks": masks,
+            "iou_preds": iou_all[sel_ids],
+            "keypoints_ids": sel_ids,
+            "boxes": boxes_all[sel_ids],
+            "masks_ids": pick_all[sel_ids],
+        }
 
     def postprocess_masks(self, lowres_masks: jax.Array) -> jax.Array:
         """Upscale lowres logits to model res, crop padding, resize to the

@@ -83,6 +83,34 @@ class TestSamTiny:
         S = cfg.img_size // cfg.patch_size
         assert out.shape == (1, S, S, cfg.out_chans)
 
+    def test_persistent_windows_and_windowed_ext_parity(self):
+        """Encoder lowering options must not change the math.  The config
+        pads (grid 4x4, window 3 -> 6x6), so this exercises the pad
+        re-zeroing of the persistent-window path and the ext lowering's
+        handling of zero pad tokens."""
+        import dataclasses
+
+        base = dataclasses.replace(
+            VIT_TINY_TEST, depth=4, window_size=3, global_attn_indexes=(2,)
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, base.img_size, base.img_size, 3))
+        enc0 = ImageEncoderViT(base)
+        params = enc0.init(jax.random.PRNGKey(0), x)
+        params = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(2), a.shape),
+            params,
+        )
+        want = np.asarray(enc0.apply(params, x))
+        for opts in (
+            {"persistent_windows": True},
+            {"windowed_attn_impl": "ext"},
+            {"persistent_windows": True, "windowed_attn_impl": "ext"},
+        ):
+            cfg = dataclasses.replace(base, **opts)
+            got = np.asarray(ImageEncoderViT(cfg).apply(params, x))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                       err_msg=str(opts))
+
     def test_global_attn_impl_parity(self):
         # "ext" folds rel-pos into the QK contraction (extended heads); the
         # scores must match the materialized-bias "xla" path exactly.

@@ -77,6 +77,85 @@ class TestSamPredictorPipeline:
         assert out["edges"].shape == image.shape[:2]
 
 
+class TestDeviceSelectPath:
+    def test_select_matches_host_selection(self, tiny_predictor):
+        """predict_points_select (on-device filter/pick/boxes + survivor-only
+        transfer) must reproduce the host smallest_good_mask_batch + nms
+        exactly, for several threshold settings."""
+        from super_primitive_tpu.frontend.mask_generation import (
+            nms,
+            smallest_good_mask_batch,
+        )
+
+        r = np.random.default_rng(7)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+        tiny_predictor.set_image(image)
+        pts = (r.random((9, 2)) * np.asarray([60.0, 44.0])).round()
+        out = tiny_predictor.target_length
+
+        masks_b, iou, stab, area = tiny_predictor.predict_points_with_stats(
+            pts, out_size=out, chunk=4
+        )
+        for iou_thr, stab_thr in ((0.0, 0.0), (0.0, 0.5), (0.8, 0.4)):
+            sel_host = smallest_good_mask_batch(
+                masks_b, iou, iou_threshold=iou_thr,
+                stability_score_thresh=stab_thr,
+                select_smallest=True, stability=stab, areas=area,
+            )
+            boxes = sel_host["boxes"]
+            a = np.prod(boxes[:, 2:] - boxes[:, :2], axis=-1)
+            keep = nms(boxes, 1.0 / np.maximum(a, 1e-9), 0.8)
+            want = {k: v[keep] for k, v in sel_host.items()}
+
+            got = tiny_predictor.predict_points_select(
+                pts, iou_threshold=iou_thr, stability_threshold=stab_thr,
+                nms_enabled=True, box_nms_thresh=0.8,
+                filter_by_box_size=True, out_size=out, chunk=4,
+            )
+            np.testing.assert_array_equal(
+                got["keypoints_ids"], want["keypoints_ids"], err_msg=str((iou_thr, stab_thr))
+            )
+            np.testing.assert_array_equal(got["masks_ids"], want["masks_ids"])
+            np.testing.assert_allclose(got["iou_preds"], want["iou_preds"], atol=1e-6)
+            np.testing.assert_array_equal(got["boxes"], want["boxes"])
+            np.testing.assert_array_equal(got["masks"], want["masks"])
+
+    def test_select_through_infer_masks(self, tiny_predictor):
+        """The select_round protocol drives the full two-round generation."""
+        r = np.random.default_rng(8)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+
+        def predict_fn(img, kps_norm):  # stats path (not used when selecting)
+            raise AssertionError("select_round should bypass this")
+
+        def select_round(img, kps_norm, sam_params):
+            tiny_predictor.set_image(img)
+            h2, w2 = tiny_predictor._input_hw
+            dims = np.asarray([h2, w2], np.float32)
+            rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
+            return tiny_predictor.predict_points_select(
+                np.round(rc[:, ::-1]),
+                iou_threshold=sam_params.iou_threshold,
+                stability_threshold=sam_params.stability_threshold,
+                nms_enabled=sam_params.nms,
+                box_nms_thresh=sam_params.box_nms_thresh,
+                filter_by_box_size=sam_params.filter_by_box_size,
+                out_size=tiny_predictor.target_length, chunk=4,
+            )
+
+        predict_fn.select_round = select_round
+        cfg = load_config({"sam_params": {
+            "stability_threshold": 0.0, "filter_edge_points": False,
+        }})
+        got = infer_masks(
+            predict_fn, image, cfg.sam_params, num_pts=6, num_pts_active=3,
+            rng=np.random.default_rng(2),
+        )
+        assert got["masks"].dtype == bool
+        assert got["keypoints"].shape[0] == got["masks"].shape[0]
+        assert got["masks"].shape[0] > 0
+
+
 class TestPhaseUpsampleCounts:
     def test_exact_vs_materialized_resize(self):
         """Phase-decomposed stability/area counting must equal counting on
