@@ -89,6 +89,11 @@ def undistort_maps(K: np.ndarray, dist: np.ndarray, h: int, w: int):
         return None
     K = np.ascontiguousarray(np.asarray(K, np.float64).reshape(9))
     d = np.ascontiguousarray(np.asarray(dist, np.float64).reshape(-1))
+    if len(d) > 5:
+        # the native kernel implements the 5-term plumb-bob model only;
+        # silently truncating an 8-term rational / thin-prism vector would
+        # remap with wrong math — let callers fall back to cv2.undistort
+        return None
     d = np.pad(d, (0, max(0, 5 - len(d))))[:5].copy()
     mx = np.empty((h, w), np.float32)
     my = np.empty((h, w), np.float32)

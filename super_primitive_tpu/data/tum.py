@@ -26,6 +26,20 @@ DIST_FR1 = np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633])
 CROP_W, CROP_H = 32, 16
 
 
+def _png_size(path: str) -> Optional[tuple[int, int]]:
+    """(height, width) from a PNG IHDR header without decoding the image."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(26)
+        if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(head[16:20], "big")
+        h = int.from_bytes(head[20:24], "big")
+        return (h, w) if h > 0 and w > 0 else None
+    except OSError:
+        return None
+
+
 def _load_groundtruth(traj_file: str) -> np.ndarray:
     with open(traj_file) as f:
         lines = [line for line in f if not line.startswith("#")]
@@ -136,10 +150,15 @@ class TUMUndistortDataset(TUMDataset):
             try:
                 from .native_loader import undistort_maps
 
-                probe = self._rgb_loader[0]
-                maps = undistort_maps(
-                    self.intrinsics_full, DIST_FR1, *probe.shape[:2]
+                # image size from the PNG header — a full probe decode
+                # through the prefetching loader would trigger (and then
+                # evict) several decodes with no undistort maps attached
+                hw = _png_size(
+                    os.path.join(self.root_dir, self.rgb_files[0])
                 )
+                if hw is None:
+                    hw = self._rgb_loader[0].shape[:2]
+                maps = undistort_maps(self.intrinsics_full, DIST_FR1, *hw)
                 if maps is not None:
                     self._native_undistort = self._rgb_loader.set_undistort(*maps)
             except Exception as e:

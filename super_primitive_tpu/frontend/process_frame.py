@@ -67,6 +67,14 @@ class FrontProcessor:
         self.normals_fn = normals_fn
         self.mask_predict_fn = mask_predict_fn
         self.rng = rng or np.random.default_rng(42)
+        # optional StageTimer (utils/timing.py): when set, per-keyframe
+        # stages (normals / sam_masks / bini / split) are accumulated
+        self.timer = None
+
+    def _stage(self, name):
+        import contextlib
+
+        return self.timer.stage(name) if self.timer else contextlib.nullcontext()
 
     # ------------------------------------------------------------------
     def process_to_kf(self, image, K, keypoints=None, loose=False) -> dict:
@@ -80,8 +88,9 @@ class FrontProcessor:
 
         # 1. normals at network dim -> NN resize to integration shape
         img01 = image.astype(np.float32) / 255.0
-        normals, kappa = self.normals_fn(img01)
-        normals = np.asarray(normals)
+        with self._stage("normals"):
+            normals, kappa = self.normals_fn(img01)
+            normals = np.asarray(normals)
         if normals.shape[:2] != (Hg, Wg):
             normals = _nn_resize(normals, (Hg, Wg))
 
@@ -98,14 +107,16 @@ class FrontProcessor:
             sam_params = dataclasses.replace(
                 sam_params, nms=False, select_smallest=False
             )
-        gen = infer_masks(
-            self.mask_predict_fn, sam_img, sam_params,
-            keypoints=keypoints,
-            num_pts=fc.num_pts, num_pts_active=fc.num_pts_active, rng=self.rng,
-            # coarse-edge path at the integration shape
-            # (reference process_frame.py:113 passes int_normal_shape)
-            edge_probs_shape=(Hg, Wg),
-        )
+        with self._stage("sam_masks"):
+            gen = infer_masks(
+                self.mask_predict_fn, sam_img, sam_params,
+                keypoints=keypoints,
+                num_pts=fc.num_pts, num_pts_active=fc.num_pts_active,
+                rng=self.rng,
+                # coarse-edge path at the integration shape
+                # (reference process_frame.py:113 passes int_normal_shape)
+                edge_probs_shape=(Hg, Wg),
+            )
         masks = gen["masks"]
         if masks.shape[0] == 0:
             raise RuntimeError("frontend produced no masks")
@@ -117,7 +128,10 @@ class FrontProcessor:
         # full-field path.  Segment counts are bucket-padded so the jitted
         # solvers compile once per bucket, not per keyframe.
         bini_cfg = BiniConfig(cg_max_iter=fc.cg_max_iter, cg_tol=fc.cg_tol)
-        depth_perseg = self._integrate_routed(normals, masks_coarse, K_geom, bini_cfg)
+        with self._stage("bini"):
+            depth_perseg = self._integrate_routed(
+                normals, masks_coarse, K_geom, bini_cfg
+            )
 
         # 4. downsample image to KF size; depth NN-resized; log in-mask
         s = 2 ** fc.downsample_pow
@@ -146,13 +160,14 @@ class FrontProcessor:
 
         # 5. depth-discontinuity split
         if fc.check_for_depth_disc:
-            regions, logdepth, kp_rc = split_disconnected_segments(
-                regions, logdepth.astype(np.float32), kp_rc,
-                fc.depth_disc_params.filter_size,
-                fc.depth_disc_params.depth_threshold,
-                fc.depth_disc_params.area_keep_ratio,
-                rng=self.rng,
-            )
+            with self._stage("split"):
+                regions, logdepth, kp_rc = split_disconnected_segments(
+                    regions, logdepth.astype(np.float32), kp_rc,
+                    fc.depth_disc_params.filter_size,
+                    fc.depth_disc_params.depth_threshold,
+                    fc.depth_disc_params.area_keep_ratio,
+                    rng=self.rng,
+                )
 
         return {
             "image": image_kf,

@@ -155,22 +155,27 @@ def _predict_normals_jit(params, image_hwc01, network_dim, out_hw, compute_dtype
     return out[..., :3], out[..., 3:]
 
 
-# single-entry strong-ref cache: casting inside the jit would re-read the
-# full fp32 tree from HBM on every call and keep both copies resident (the
-# SamPredictor pre-casts for the same reason); the strong reference keeps
-# id(params) stable so the identity check is sound
+# small strong-ref cache: casting inside the jit would re-read the full
+# fp32 tree from HBM on every call and keep both copies resident (the
+# SamPredictor pre-casts for the same reason).  Keyed per (id(params),
+# dtype) so alternating between a few param trees doesn't thrash a
+# re-cast of the full tree each call; the stored strong reference to
+# ``params`` keeps id() from being recycled.  Capped FIFO so dropped
+# models' fp32+cast copies don't stay resident forever.
 _cast_cache: dict = {}
+_CAST_CACHE_MAX = 4
 
 
 def _cast_params(params, dtype):
-    key = jnp.dtype(dtype).name
+    key = (id(params), jnp.dtype(dtype).name)
     hit = _cast_cache.get(key)
     if hit is not None and hit[0] is params:
         return hit[1]
     cast = jax.tree.map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params
     )
-    _cast_cache.clear()
+    while len(_cast_cache) >= _CAST_CACHE_MAX:
+        _cast_cache.pop(next(iter(_cast_cache)))
     _cast_cache[key] = (params, cast)
     return cast
 

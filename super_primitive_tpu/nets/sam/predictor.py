@@ -85,12 +85,18 @@ class SamPredictor:
         full rate; features and the (small) decoder stay float32.  None keeps
         everything float32 (checkpoint-validation parity)."""
         if compute_dtype is not None and cfg.global_attn_impl == "xla":
-            # perf path: fold rel-pos into the QK contraction (measured
-            # slightly faster + avoids two (L, L) bias materializations per
-            # global block; math identical, tests/test_nets_frontend.py)
+            # perf path (chip A/B, examples/profile_encoder3.py): extended-
+            # head rel-pos for global AND windowed blocks + persistent
+            # window layout = 108.7 ms vs 140.3 ms for the materialized-
+            # bias / per-block-partition encoder at 1024^2 bf16.  Math
+            # identical (parity-tested in tests/test_nets_frontend.py);
+            # bf16 reassociation noise ~0.12 on feature scale 3.2.
             import dataclasses
 
-            cfg = dataclasses.replace(cfg, global_attn_impl="ext")
+            cfg = dataclasses.replace(
+                cfg, global_attn_impl="ext", windowed_attn_impl="ext",
+                persistent_windows=True,
+            )
         self.cfg = cfg
         self.params = params
         self.compute_dtype = compute_dtype
@@ -197,6 +203,14 @@ class SamPredictor:
                 xb = jax.image.resize(
                     x[..., None], (B * M, out_size, out_size, 1), "bilinear"
                 )[..., 0]
+            # NOTE boundary tolerance (ADVICE r2): logits are not forced to
+            # -inf in the padded region before this resize, so interpolated
+            # pad values can reach the last valid out_size row/col and are
+            # zeroed only by the half-pixel ``region`` test (<= at exact
+            # boundaries).  For input sizes not divisible by
+            # target_length/out_size the mask border at the image edge can
+            # differ from the reference amg by one pixel — below the noise
+            # the downstream NN-resizes introduce.
             scale = self.target_length / out_size
             row_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[0]
             col_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[1]
