@@ -111,30 +111,33 @@ def main():
         jnp.asarray(masks.affine_mask),
     )
 
-    # --- GN mapping ---
-    def run_gn():
-        return gn_mapping(
-            buf, *sargs, geo_dims, max_iters=args.iters, use_affine=True,
-            tol=0.0,  # run all iters for stable timing
-        )
+    # --- GN mapping (f32 taps vs bf16 gather taps A/B) ---
+    for tap_dtype in (None, "bfloat16"):
+        def run_gn():
+            return gn_mapping(
+                buf, *sargs, geo_dims, max_iters=args.iters, use_affine=True,
+                tol=0.0,  # run all iters for stable timing
+                tap_dtype=tap_dtype,
+            )
 
-    t0 = time.perf_counter()
-    res = run_gn()
-    sync(res.final_cost)
-    compile_s = time.perf_counter() - t0
-    iters = int(res.num_iters)
-    times = []
-    for _ in range(3):
         t0 = time.perf_counter()
         res = run_gn()
         sync(res.final_cost)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    print(
-        f"gn_mapping: {1000 * dt:.1f} ms / solve ({iters} LM iters, "
-        f"{1000 * dt / max(iters, 1):.1f} ms/iter; compile+run1 {compile_s:.1f} s; "
-        f"cost {float(res.initial_cost):.4f} -> {float(res.final_cost):.4f})"
-    )
+        compile_s = time.perf_counter() - t0
+        iters = int(res.num_iters)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run_gn()
+            sync(res.final_cost)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(
+            f"gn_mapping[taps={tap_dtype or 'f32'}]: {1000 * dt:.1f} ms / solve "
+            f"({iters} LM iters, "
+            f"{1000 * dt / max(iters, 1):.1f} ms/iter; compile+run1 {compile_s:.1f} s; "
+            f"cost {float(res.initial_cost):.4f} -> {float(res.final_cost):.4f})"
+        )
 
     # --- supp refinement GN ---
     i = n_kf - 1

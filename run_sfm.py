@@ -41,7 +41,56 @@ def build_frontend_from_args(args, config):
     return build_frontend(config, sam_tree, nnet_tree)
 
 
-def run_two_frame(config, frontend, dataset):
+def make_odometry_live_cb(live_dir):
+    """Per-frame live snapshot for the odometry driver: current window
+    point clouds + tracked trajectory, then honor the pause marker."""
+    from super_primitive_tpu.viz.export import keyframe_pointcloud
+    from super_primitive_tpu.viz.live import LiveViz
+
+    lv = LiveViz(live_dir, title="odometry (live)")
+
+    def cb(odom, frame_id):
+        buf = odom.buffers
+        clouds = {}
+        kp_ld = np.asarray(buf.kp_logdepth)
+        kp_base = np.asarray(buf.kp_base)
+        for i in range(odom.num_kfs):
+            uv = np.asarray(buf.uv[i])
+            seg = np.asarray(buf.seg_id[i])
+            base = np.asarray(buf.base_logdepth[i])
+            valid = np.asarray(buf.point_valid[i])
+            logd = base + (kp_ld[i] - kp_base[i])[seg]
+            img = np.asarray(buf.images[i])
+            cols = img.reshape(-1, img.shape[-1])[:, :3][
+                np.clip(
+                    np.round(uv[:, 1]).astype(int) * img.shape[1]
+                    + np.round(uv[:, 0]).astype(int),
+                    0, img.shape[0] * img.shape[1] - 1,
+                )
+            ]
+            pts, _ = keyframe_pointcloud(
+                uv, np.exp(logd), np.asarray(buf.K[i]),
+                np.asarray(buf.poses[i]), valid=valid,
+            )
+            clouds[f"kf{i}"] = (pts, cols[valid])
+        traj = np.asarray(
+            [np.asarray(T)[:3, 3] for _, T in sorted(
+                odom.global_track_trajectory.items(), key=lambda kv: int(kv[0])
+            )]
+        )
+        lv.update(
+            clouds,
+            trajectories={"track": traj} if len(traj) >= 2 else None,
+            label=f"frame {frame_id} | {odom.num_kfs} KFs",
+        )
+        paused = lv.checkpoint()
+        if paused > 0.5:
+            print(f"[live] paused {paused:.1f}s", flush=True)
+
+    return cb
+
+
+def run_two_frame(config, frontend, dataset, live_dir=None):
     import jax.numpy as jnp
 
     from super_primitive_tpu.keyframe import (
@@ -87,7 +136,37 @@ def run_two_frame(config, frontend, dataset):
 
     cfg = TwoFrameConfig()
     ld0 = random_depth_seeds(jax.random.PRNGKey(43), geo.num_segments, cfg)
-    poses, ld, losses = solve_two_frame(src_pyr, [trg_pyr], T_init[None], ld0, cfg)
+
+    snapshot_cb = snapshot_every = None
+    if live_dir:
+        from super_primitive_tpu.cost import photometric as _ph
+        from super_primitive_tpu.viz.export import keyframe_pointcloud
+        from super_primitive_tpu.viz.live import LiveViz
+
+        lv = LiveViz(live_dir, title="two-frame SfM (live)")
+        kp_base = geo.keypoint_base_logdepth()
+
+        def snapshot_cb(level, iters_done, params, chunk_losses):
+            logd = np.asarray(
+                _ph.spread_logdepth(bundle, params.kp_logdepth, kp_base)
+            )
+            pts, _ = keyframe_pointcloud(
+                np.asarray(bundle.uv), np.exp(logd), kf_data["K"],
+                np.eye(4), valid=np.asarray(bundle.valid),
+            )
+            lv.update(
+                {"src": (pts, None)},
+                label=f"level {level} iter {iters_done}",
+                loss=float(np.asarray(chunk_losses)[-1]),
+            )
+            lv.checkpoint()  # pause protocol (two_frame_sfm.py:185-198)
+
+        snapshot_every = 50
+
+    poses, ld, losses = solve_two_frame(
+        src_pyr, [trg_pyr], T_init[None], ld0, cfg,
+        snapshot_cb=snapshot_cb, snapshot_every=snapshot_every or 0,
+    )
 
     out_dir = config.save_path
     os.makedirs(out_dir, exist_ok=True)
@@ -113,12 +192,16 @@ def run_two_frame(config, frontend, dataset):
     print(f"artifacts in {out_dir}")
 
 
-def run_odometry(config, frontend, dataset, max_frames=None):
+def run_odometry(config, frontend, dataset, max_frames=None, live_dir=None):
     from super_primitive_tpu.eval.trajectory import ate_rmse
     from super_primitive_tpu.odometry.odometry import Odometry
     from super_primitive_tpu.viz.export import save_trajectory_plot
 
     odom = Odometry(config, frontend, dataset)
+    if live_dir:
+        odom.live_cb = make_odometry_live_cb(live_dir)
+        print(f"[live] serve with: python -m super_primitive_tpu.viz.serve "
+              f"{live_dir}  ->  http://localhost:8765/live.html", flush=True)
     traj = odom.run(max_frames=max_frames)
 
     # TUM-format export for external evo if desired (convert_traj_to_tum.py)
@@ -161,6 +244,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the container sitecustomize "
                          "pins the axon TPU; env vars alone don't override)")
+    ap.add_argument("--live-viz", default=None, metavar="DIR",
+                    help="write live during-solve snapshots (live.html + "
+                         "live.json) to DIR; pair with `python -m "
+                         "super_primitive_tpu.viz.serve DIR` for a live "
+                         "browser view with pause/resume")
     args = ap.parse_args()
 
     seed_everything()
@@ -185,9 +273,10 @@ def main():
     frontend = build_frontend_from_args(args, config)
 
     if args.odom:
-        run_odometry(config, frontend, dataset, args.max_frames)
+        run_odometry(config, frontend, dataset, args.max_frames,
+                     live_dir=args.live_viz)
     else:
-        run_two_frame(config, frontend, dataset)
+        run_two_frame(config, frontend, dataset, live_dir=args.live_viz)
 
 
 if __name__ == "__main__":

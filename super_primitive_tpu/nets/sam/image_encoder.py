@@ -44,6 +44,10 @@ class ViTConfig:
     # per-block partition semantics.  Trades 2 layout transposes per block
     # for MLP work on the (~20%) padded tokens.
     persistent_windows: bool = False
+    # tanh-approximate GELU in the MLPs (exact erf GELU is transcendental-
+    # heavy on the VPU; the approximation's ~1e-3 relative deviation is
+    # below bf16 noise).  Off for checkpoint-validation parity.
+    gelu_approx: bool = False
 
 
 VIT_H = ViTConfig()
@@ -251,7 +255,7 @@ class Block(nn.Module):
         x = shortcut + h
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.cfg.embed_dim * self.cfg.mlp_ratio), name="mlp_lin1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.cfg.gelu_approx)
         h = nn.Dense(self.cfg.embed_dim, name="mlp_lin2")(h)
         return x + h
 

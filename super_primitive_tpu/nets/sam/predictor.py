@@ -91,11 +91,16 @@ class SamPredictor:
             # bias / per-block-partition encoder at 1024^2 bf16.  Math
             # identical (parity-tested in tests/test_nets_frontend.py);
             # bf16 reassociation noise ~0.12 on feature scale 3.2.
+            # gelu_approx shaves another ~16 ms (97.7 vs 113.4 ms,
+            # examples/profile_encoder4.py); its deviation (~0.16 on scale
+            # 3.2) is the same order as the bf16 noise already accepted on
+            # this path.  The fp32 path (checkpoint validation) keeps the
+            # exact erf GELU and materialized-bias attention.
             import dataclasses
 
             cfg = dataclasses.replace(
                 cfg, global_attn_impl="ext", windowed_attn_impl="ext",
-                persistent_windows=True,
+                persistent_windows=True, gelu_approx=True,
             )
         self.cfg = cfg
         self.params = params

@@ -114,6 +114,9 @@ class Odometry:
         from ..utils.timing import StageTimer
 
         self.timer = StageTimer()
+        # optional live-viz hook: callable(odom, frame_id), set by drivers
+        # (run_sfm --live-viz); see viz/live.py
+        self.live_cb = None
 
     # ------------------------------------------------------------- helpers
     @staticmethod
@@ -729,6 +732,12 @@ class Odometry:
                 and frame_id % self.config.save_every == 0
             ):
                 self.save_state()
+
+            if self.live_cb is not None:
+                # live viz hook (viz/live.py): publish a snapshot and honor
+                # the pause marker — the reference GUI's per-iteration view
+                # + pause toggle (gui/odometery_gui.py:393-422)
+                self.live_cb(self, frame_id)
 
         traj_dir = self.config.save_path + "/traj"
         io.save_trajectory(traj_dir, self.global_kf_trajectory, "final")

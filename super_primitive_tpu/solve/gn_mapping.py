@@ -230,6 +230,7 @@ def build_cmap(trg_index: jax.Array, B: int) -> jax.Array:
 def assemble(
     buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
     par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
+    tap_dtype=None,
 ):
     """One linearization pass of the windowed mapping system: scan over
     sources, vmap over target slots; landmark reductions via one-hot segment
@@ -250,7 +251,13 @@ def assemble(
     # one row-gather fetches all four bilinear taps (see pack_bilinear_taps);
     # images are constant over the LM solve, so XLA hoists this out of the
     # while_loop — the pack itself costs one pass over the (W, T, H, Wd, 3)
-    # pool per solve
+    # pool per solve.  ``tap_dtype=bf16`` halves the bytes of the random
+    # row-gathers (the latency wall of the linearization); image values come
+    # from uint8/255, so bf16's 8 mantissa bits match the source precision.
+    # r0/J are cast back to f32 right after sampling — only the tap VALUES
+    # are quantized, every reduction stays f32.
+    if tap_dtype is not None:
+        trg_images = trg_images.astype(tap_dtype)
     trg_packed = jax.vmap(jax.vmap(pack_bilinear_taps))(trg_images)
 
     def per_src(carry, s):
@@ -269,9 +276,14 @@ def assemble(
                 precision=jax.lax.Precision.HIGHEST,
             )
             r0, valid, J = linearize_warp(
-                X, src_px, vstat, rel0, buffers.K[s], img, geo_dims,
+                X,
+                src_px.astype(img.dtype) if tap_dtype is not None else src_px,
+                vstat, rel0, buffers.K[s], img, geo_dims,
                 affine[s], aff_t, use_affine, packed=True,
             )
+            r0 = r0.astype(jnp.float32)
+            J = J.astype(jnp.float32)
+            valid = valid.astype(jnp.float32)
             ix = col16(s, t, B_pool)
             j_l = J[..., 6]
 
@@ -393,7 +405,10 @@ def solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap):
     return d_theta, d_l
 
 
-@functools.partial(jax.jit, static_argnames=("geo_dims", "max_iters", "use_affine"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo_dims", "max_iters", "use_affine", "tap_dtype"),
+)
 def gn_mapping(
     buffers: WindowBuffers,
     trg_index: jax.Array,     # (W, T_max)
@@ -407,6 +422,7 @@ def gn_mapping(
     use_affine: bool = False,
     tol: float = 1e-5,
     drag_supporting: jax.Array = np.float32(0.0),
+    tap_dtype: str | None = None,  # "bfloat16": half-width gather taps
 ) -> GNMapResult:
     W = buffers.capacity
     S = buffers.supp_capacity
@@ -434,6 +450,7 @@ def gn_mapping(
         return assemble(
             buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
             par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
+            tap_dtype=jnp.dtype(tap_dtype) if tap_dtype else None,
         )
 
     def solve_at(H, g_t, D, gl, Bs, lam):

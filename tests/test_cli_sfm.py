@@ -102,6 +102,7 @@ class TestCliOdometry:
                 sys.executable, os.path.join(REPO, "run_sfm.py"), "--cpu",
                 "--config", str(cfg_path), "--odom", "--stub-frontend",
                 "--stub-rows", "4", "--stub-cols", "5", "--max-frames", "8",
+                "--live-viz", str(out_dir / "live"),
             ],
             cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
         )
@@ -115,6 +116,14 @@ class TestCliOdometry:
         # exported trajectory is TUM-format: 8 columns, parseable
         traj = np.loadtxt(os.path.join(out_dir, "converted_tum_traj.txt"))
         assert traj.ndim == 2 and traj.shape[1] == 8
+        # live viz snapshots were published during the solve
+        import json
+
+        live = json.loads(
+            (out_dir / "live" / "live.json").read_text()
+        )
+        assert live["seq"] >= 7 and live["clouds"], live["seq"]
+        assert (out_dir / "live" / "live.html").exists()
 
         # the standalone converter reproduces the export from the saved run
         conv = subprocess.run(
