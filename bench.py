@@ -403,10 +403,15 @@ def bench_frontend_keyframe(jax, jnp):
     nnet_tree = jax.jit(NNET().init)(k4, jnp.zeros((1, 480, 640, 3)))
 
     config = load_config({
-        "frontend": {"downsample_pow": 1},
+        # check_for_depth_disc off: random-logit masks are speckle with
+        # thousands of connected components, so the split stage measures
+        # pathology (61 s), not the real workload (sub-100 ms on real
+        # blob-shaped masks — see examples/e2e_planes.py timings)
+        "frontend": {"downsample_pow": 1, "check_for_depth_disc": False},
         # random weights: keep all candidates so the mask count stays at
-        # the reference's working scale
-        "sam_params": {"stability_threshold": 0.0},
+        # the reference's working scale (random-logit masks are near-empty
+        # speckle, so the on-mask keypoint filter would drop everything)
+        "sam_params": {"stability_threshold": 0.0, "filter_edge_points": False},
     })
     fe = build_frontend(config, sam_tree, nnet_tree)
     r = np.random.default_rng(0)

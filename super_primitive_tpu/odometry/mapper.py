@@ -196,9 +196,19 @@ def run_mapping(
     opt_state = opt.init(params)
 
     def total_loss(p: MapParams) -> jax.Array:
-        E = jnp.matmul(p.poses, se3.exp(p.xi), precision=jax.lax.Precision.HIGHEST)
+        # poses only move through xi (grads.poses was zeroed anyway);
+        # stop_gradient lets XLA drop that whole backward branch
+        E = jnp.matmul(
+            jax.lax.stop_gradient(p.poses), se3.exp(p.xi),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-        def per_src(i):
+        # lax.scan over sources, NOT vmap: under vmap the segment-sum in
+        # the backward (one-hot MXU contraction, cost/photometric.py)
+        # batches into a (W, N, P) ~ 590 MB materialization — the same
+        # vmap-vs-scan cliff measured for the GN assemble (NOTES r2).
+        # scan keeps it (N, P) per step.
+        def per_src(acc, i):
             bundle = buffers.bundle_at(i)
             src = ph.SourceSamples(
                 pixels=src_samples.pixels[i], valid=src_samples.valid[i]
@@ -213,10 +223,11 @@ def run_mapping(
                 affine=(p.affine[i], p.affine[idx]) if use_affine else None,
             )
             v = trg_valid[i].astype(res.dtype)
-            return jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
+            per = jnp.sum(res * v) / jnp.maximum(jnp.sum(v), 1.0)
+            return acc + per * src_valid[i].astype(per.dtype), None
 
-        per = jax.vmap(per_src)(jnp.arange(W))
-        return jnp.sum(per * src_valid.astype(per.dtype))
+        out, _ = jax.lax.scan(per_src, jnp.zeros(()), jnp.arange(W))
+        return out
 
     def step(carry):
         p, opt_state, it, prev_loss, done, losses = carry

@@ -422,8 +422,14 @@ def gn_mapping(
     use_affine: bool = False,
     tol: float = 1e-5,
     drag_supporting: jax.Array = np.float32(0.0),
-    tap_dtype: str | None = None,  # "bfloat16": half-width gather taps
+    tap_dtype: str | None = None,  # see NEGATIVE RESULT below — keep None
 ) -> GNMapResult:
+    # NEGATIVE RESULT (round-3 chip A/B, examples/bench_mapping.py):
+    # tap_dtype="bfloat16" is 70% SLOWER (48.1 vs 28.4 ms/LM-iter) — TPU
+    # row-gathers operate on 32-bit lanes, so half-width elements force a
+    # slower sub-word gather path; halving the gathered bytes does not help
+    # a latency-bound gather.  It also costs accuracy (pose error 1.15-1.7x
+    # at the low-error floor).  The flag stays so nobody re-tries blindly.
     W = buffers.capacity
     S = buffers.supp_capacity
     B = W + W * S
