@@ -439,7 +439,7 @@ class SamPredictor:
         box_nms_thresh: float = 0.8,
         filter_by_box_size: bool = True,
         out_size: int = 256,
-        chunk: int = 128,
+        chunk: Optional[int] = None,
     ) -> dict:
         """Full smallest-good selection round with survivor-only transfer.
 
@@ -461,6 +461,12 @@ class SamPredictor:
         ws = int(round(w2 * out_size / self.target_length))
         pts_all = np.asarray(points_input_frame, np.float32)
         B = pts_all.shape[0]
+        if chunk is None:
+            # unlike the raw-logits path there is no full-res
+            # materialization to cap (stats are phase-counted at lowres),
+            # so one dispatch padded to /64 minimizes relay round-trips;
+            # the two generation rounds (300/100 prompts) each compile once
+            chunk = max(64, -(-B // 64) * 64)
         input_hw = jnp.asarray([h2, w2])
         iou_thr = jnp.asarray(iou_threshold, jnp.float32)
         stab_thr = jnp.asarray(stability_threshold, jnp.float32)
