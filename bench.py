@@ -410,8 +410,11 @@ def bench_frontend_keyframe(jax, jnp):
         "frontend": {"downsample_pow": 1, "check_for_depth_disc": False},
         # random weights: keep all candidates so the mask count stays at
         # the reference's working scale (random-logit masks are near-empty
-        # speckle, so the on-mask keypoint filter would drop everything)
-        "sam_params": {"stability_threshold": 0.0, "filter_edge_points": False},
+        # speckle: the on-mask keypoint filter would drop everything and
+        # box NMS would collapse the near-identical boxes to ~1 survivor,
+        # under-loading BiNI; real masks keep ~200-300 of 400)
+        "sam_params": {"stability_threshold": 0.0, "filter_edge_points": False,
+                       "nms": False},
     })
     fe = build_frontend(config, sam_tree, nnet_tree)
     r = np.random.default_rng(0)
