@@ -408,13 +408,17 @@ def bench_frontend_keyframe(jax, jnp):
         # pathology (61 s), not the real workload (sub-100 ms on real
         # blob-shaped masks — see examples/e2e_planes.py timings)
         "frontend": {"downsample_pow": 1, "check_for_depth_disc": False},
-        # random weights: keep all candidates so the mask count stays at
-        # the reference's working scale (random-logit masks are near-empty
-        # speckle: the on-mask keypoint filter would drop everything and
-        # box NMS would collapse the near-identical boxes to ~1 survivor,
-        # under-loading BiNI; real masks keep ~200-300 of 400)
-        "sam_params": {"stability_threshold": 0.0, "filter_edge_points": False,
-                       "nms": False},
+        # Random-weight caveat: random-logit masks are full-image speckle,
+        # not compact blobs.  stability 0 + no edge-point filter keeps the
+        # prompt rounds at reference scale (the dominant cost: encoder + 2
+        # select rounds + NNET), but NMS then collapses the near-identical
+        # speckle boxes to ~1 survivor, so the BiNI stage here runs under-
+        # loaded.  (Disabling NMS instead routes 400 full-frame masks to
+        # the full-field integrator — 50 s of pathology real blob masks
+        # never hit.)  BiNI at the real 300-segment load is benchmarked
+        # separately: 47 ms/keyframe via the crop path (tests/test_bini*,
+        # round-2 chip measurement).
+        "sam_params": {"stability_threshold": 0.0, "filter_edge_points": False},
     })
     fe = build_frontend(config, sam_tree, nnet_tree)
     r = np.random.default_rng(0)
