@@ -57,14 +57,22 @@ VIT_TINY_TEST = ViTConfig(
     global_attn_indexes=(1,), out_chans=16,
 )
 
-# Global-attention implementations (param tree identical across all three):
-#   "xla"   — materialized scores + decomposed rel-pos adds (reference math,
-#             reference memory behavior);
-#   "ext"   — rel-pos folded into the QK contraction via extended heads (one
-#             pure matmul builds the scores; no (L, L) bias adds);
-#   "flash" — extended heads + the Pallas TPU flash-attention kernel (no
-#             (L, L) score materialization at all; TPU-only).
-GLOBAL_ATTN_IMPLS = ("xla", "ext", "flash")
+# Global-attention implementations (param tree identical across all):
+#   "xla"    — materialized scores + decomposed rel-pos adds (reference
+#              math, reference memory behavior);
+#   "ext"    — rel-pos folded into the QK contraction via extended heads
+#              (one pure matmul builds the scores; no (L, L) bias adds);
+#   "ext_hp" — "ext" with the head axis kept in place: q/k/v stay
+#              (B, L, nh, hd) slices of the qkv projection and every
+#              contraction carries nh as a batch dim — no (3, B*nh, L, hd)
+#              repack transposes on either side of the attention.
+#              NEGATIVE RESULT (round-3 chip A/B, profile_encoder5.py):
+#              ~6-10 ms SLOWER than "ext" in situ — XLA lowers the
+#              interior-batch einsums worse than the explicit repack.
+#              Kept (parity-tested) so the attempt is on record;
+#   "flash"  — extended heads + the Pallas TPU flash-attention kernel (no
+#              (L, L) score materialization at all; TPU-only).
+GLOBAL_ATTN_IMPLS = ("xla", "ext", "ext_hp", "flash")
 
 
 class LayerNorm2d(nn.Module):
@@ -150,12 +158,50 @@ class Attention(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, name="qkv")(x.reshape(B, H * W, C))
-        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        L = H * W
+        qkv = nn.Dense(3 * C, name="qkv")(x.reshape(B, L, C))
 
         scale = head_dim**-0.5
+        if self.impl == "ext_hp" and self.use_rel_pos:
+            # heads-in-place: (B, L, 3, nh, hd) slices, nh rides as an
+            # einsum batch dim end to end — no qkv repack transposes and
+            # no post-attention head-merge transpose
+            nh = self.num_heads
+            qkv = qkv.reshape(B, L, 3, nh, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            rel_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            Rh = get_rel_pos(H, H, rel_h)                     # (H, H, hd)
+            Rw = get_rel_pos(W, W, rel_w)
+            rq = q.reshape(B, H, W, nh, head_dim)
+            rel_hq = jnp.einsum("bxync,xkc->bxynk", rq, Rh).reshape(B, L, nh, H)
+            rel_wq = jnp.einsum("bxync,ykc->bxynk", rq, Rw).reshape(B, L, nh, W)
+            q_ext = jnp.concatenate([q * scale, rel_hq, rel_wq], axis=-1)
+            oh_row = jnp.repeat(jnp.eye(H, dtype=q.dtype), W, axis=0)  # (L, H)
+            oh_col = jnp.tile(jnp.eye(W, dtype=q.dtype), (H, 1))       # (L, W)
+            k_ext = jnp.concatenate(
+                [
+                    k,
+                    jnp.broadcast_to(oh_row[:, None, :], (B, L, nh, H)),
+                    jnp.broadcast_to(oh_col[:, None, :], (B, L, nh, W)),
+                ],
+                axis=-1,
+            )
+            attn = jnp.einsum("bqnc,bknc->bnqk", q_ext, k_ext)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bnqk,bknc->bqnc", attn, v).reshape(B, H, W, C)
+            return nn.Dense(C, name="proj")(out)
+
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, L, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
         if self.use_rel_pos:
             rel_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)

@@ -125,10 +125,12 @@ class TestSamTiny:
             lambda a: a + 0.1 * jax.random.normal(rng, a.shape), params
         )
         out_xla = ref.apply(params, x)
-        out_ext = Attention(nh, input_size=(H, W), impl="ext").apply(params, x)
-        np.testing.assert_allclose(
-            np.asarray(out_ext), np.asarray(out_xla), rtol=1e-5, atol=1e-5
-        )
+        for impl in ("ext", "ext_hp"):
+            out = Attention(nh, input_size=(H, W), impl=impl).apply(params, x)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(out_xla), rtol=1e-5, atol=1e-5,
+                err_msg=impl,
+            )
 
     def test_decoder_shapes(self):
         D = 16
