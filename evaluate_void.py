@@ -47,14 +47,19 @@ def main():
     ds = VoidDataset(args.dataset)
 
     if args.stub_frontend:
-        # GT-free stub is impossible for VOID (no depth net); use patch
-        # frontend around sparse points purely for pipeline exercise
-        raise SystemExit("--stub-frontend is test-only; provide checkpoints")
-    from super_primitive_tpu.frontend.process_frame import build_frontend
+        # GT-depth patch segments around the sparse query points: drives
+        # the entire completion pipeline (median alignment, overlap
+        # averaging, loose-rerun fallback, both metric tracks) without the
+        # nets — the CLI-level e2e for the VOID workload
+        from super_primitive_tpu.frontend.stub import PatchSegmentFrontend
 
-    sam_tree = np.load(args.sam_ckpt, allow_pickle=True)["tree"].item()
-    nnet_tree = np.load(args.nnet_ckpt, allow_pickle=True)["tree"].item()
-    frontend = build_frontend(config, sam_tree, nnet_tree)
+        frontend = PatchSegmentFrontend(patch=9)
+    else:
+        from super_primitive_tpu.frontend.process_frame import build_frontend
+
+        sam_tree = np.load(args.sam_ckpt, allow_pickle=True)["tree"].item()
+        nnet_tree = np.load(args.nnet_ckpt, allow_pickle=True)["tree"].item()
+        frontend = build_frontend(config, sam_tree, nnet_tree)
 
     dc = DepthCompletion(frontend)
     avg_filled = M.ErrorMetricsAverager()
@@ -64,6 +69,9 @@ def main():
     n = len(ds) if args.max_images is None else min(len(ds), args.max_images)
     for i in range(n):
         s = ds[i]
+        observe = getattr(dc.frontend, "observe", None)
+        if observe is not None:
+            observe(s)
         depths, invalid = dc.depth_completion(
             s["image"], s["intrinsics"], s["sparse_depth"]
         )

@@ -81,3 +81,45 @@ class GridSegmentFrontend:
         (the reference frontend infers geometry from the image alone; this
         stub substitutes GT depth for the predicted+integrated geometry)."""
         self._depth = np.asarray(frame["depth"], np.float32)
+
+
+class PatchSegmentFrontend:
+    """VOID-pipeline stub: one square segment per query keypoint with frozen
+    log-depth taken from a GT depth map, so the depth-completion pipeline
+    (segment median alignment, overlap averaging, loose-rerun fallback,
+    metrics) runs end to end without the SAM/normal nets.
+
+    GT depth comes either from the constructor or per-sample via
+    ``observe(sample)`` (reading ``sample["gt_depth"]``), which the
+    evaluate_void.py --stub-frontend path uses."""
+
+    def __init__(self, gt_depth=None, patch: int = 9):
+        self.gt = None if gt_depth is None else np.asarray(gt_depth, np.float32)
+        self.patch = patch
+        self.calls: list[bool] = []
+
+    def observe(self, sample: dict):
+        gt = np.asarray(sample["gt_depth"], np.float32)
+        self.gt = np.where(np.isfinite(gt), gt, 0.0)
+
+    def process_to_kf(self, image, K, keypoints=None, loose=False) -> dict:
+        assert self.gt is not None, "set gt_depth or call observe(sample)"
+        self.calls.append(loose)
+        H, W = self.gt.shape
+        dims = np.asarray([H, W], np.float32)
+        kp_rc = np.round(0.5 * (dims - 1) * (keypoints + 1)).astype(np.int64)
+        p = self.patch * (2 if loose else 1)  # loose fallback covers more
+        N = kp_rc.shape[0]
+        regions = np.zeros((N, H, W), bool)
+        for i, (r, c) in enumerate(kp_rc):
+            r0, r1 = max(0, r - p // 2), min(H, r + p // 2 + 1)
+            c0, c1 = max(0, c - p // 2), min(W, c + p // 2 + 1)
+            regions[i, r0:r1, c0:c1] = True
+        logdepth = np.log(np.maximum(self.gt, 1e-6))[None] * regions
+        return {
+            "image": np.asarray(image, np.float32),
+            "K": np.asarray(K, np.float32),
+            "regions": regions,
+            "logdepth_perseg": logdepth.astype(np.float32),
+            "keypoints_rc": kp_rc,
+        }

@@ -14,35 +14,9 @@ from super_primitive_tpu.depth_completion.metrics import (
 )
 
 
-class PatchFrontend:
-    """Stub: one square segment per sparse keypoint, frozen logdepth taken
-    from a GT depth map (so median shift alignment is exact)."""
-
-    def __init__(self, gt_depth, patch=9):
-        self.gt = np.asarray(gt_depth, np.float32)
-        self.patch = patch
-        self.calls = []
-
-    def process_to_kf(self, image, K, keypoints=None, loose=False):
-        self.calls.append(loose)
-        H, W = self.gt.shape
-        dims = np.asarray([H, W], np.float32)
-        kp_rc = np.round(0.5 * (dims - 1) * (keypoints + 1)).astype(np.int64)
-        p = self.patch * (2 if loose else 1)
-        N = kp_rc.shape[0]
-        regions = np.zeros((N, H, W), bool)
-        for i, (r, c) in enumerate(kp_rc):
-            r0, r1 = max(0, r - p // 2), min(H, r + p // 2 + 1)
-            c0, c1 = max(0, c - p // 2), min(W, c + p // 2 + 1)
-            regions[i, r0:r1, c0:c1] = True
-        logdepth = np.log(np.maximum(self.gt, 1e-6))[None] * regions
-        return {
-            "image": np.asarray(image, np.float32),
-            "K": np.asarray(K, np.float32),
-            "regions": regions,
-            "logdepth_perseg": logdepth.astype(np.float32),
-            "keypoints_rc": kp_rc,
-        }
+# the stub moved into the package so evaluate_void.py --stub-frontend can
+# share it (the VOID CLI e2e, tests/test_cli_void.py)
+from super_primitive_tpu.frontend.stub import PatchSegmentFrontend as PatchFrontend
 
 
 def make_case(H=40, W=52, n_sparse=25, seed=0):
