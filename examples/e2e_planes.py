@@ -33,6 +33,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--ate-tol", type=float, default=0.05)
+    ap.add_argument("--solver", choices=("gn", "adam", "both"), default="gn",
+                    help="'both' runs the sequence once per solver and "
+                         "prints the ATE comparison (the GN==Adam accuracy "
+                         "evidence at full-pipeline scale)")
+    ap.add_argument("--gn-iters", type=int, default=30)
     ap.add_argument("--small", action="store_true",
                     help="96x128 debug scale instead of TUM scale")
     ap.add_argument("--cpu", action="store_true",
@@ -63,61 +68,85 @@ def main():
     else:
         H, W, pow_, n_cells = 480, 640, 1, 64  # KF at 240x320 like TUM fr1
 
-    cfg = load_config({
-        "save_path": "/tmp/sp_e2e_planes",
-        "window_size": 4,
-        "frontend": {
-            "downsample_pow": pow_,
-            "num_pts": 128, "num_pts_active": 32,
-            "normals": {"integration_shape": [240, 320] if not args.small else [48, 64],
-                        "network_dim": [H, W]},
-            "cg_max_iter": 300, "cg_tol": 1e-3,
-            "check_for_depth_disc": True,
-        },
-        "sam_params": {"infer_resolution": [240, 320] if not args.small else [96, 128]},
-        "aligment": {
-            "mono_init": True,
-            "affine_compensation": False,
-            "opt_supporting": True,
-            "init_frames": 3,
-            "mapping": {"supp_every_n": 3, "init_steps": 60,
-                        "steps": 40, "continual_steps": 5,
-                        "solver": "gn", "gn_max_iters": 15},
-            "track": {"pyramid_min": 0, "pyramid_max": 3,
-                      "steps": [0, 0, 300], "solver": "gn",
-                      "gn_max_iters": 15},
-        },
-        "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.08},
-    })
+    def make_cfg(solver):
+        extra = (
+            {} if solver == "adam"
+            else {"solver": "gn", "gn_max_iters": args.gn_iters}
+        )
+        return load_config({
+            "save_path": f"/tmp/sp_e2e_planes_{solver}",
+            "window_size": 4,
+            "frontend": {
+                "downsample_pow": pow_,
+                "num_pts": 128, "num_pts_active": 32,
+                "normals": {"integration_shape": [240, 320] if not args.small else [48, 64],
+                            "network_dim": [H, W]},
+                "cg_max_iter": 300, "cg_tol": 1e-3,
+                "check_for_depth_disc": True,
+            },
+            "sam_params": {"infer_resolution": [240, 320] if not args.small else [96, 128]},
+            "aligment": {
+                "mono_init": True,
+                "affine_compensation": False,
+                "opt_supporting": True,
+                "init_frames": 3,
+                "mapping": {"supp_every_n": 3, "init_steps": 60,
+                            "steps": 40, "continual_steps": 5, **extra},
+                "track": {"pyramid_min": 0, "pyramid_max": 3,
+                          "steps": [0, 0, 300], **extra},
+            },
+            "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.08},
+        })
 
     ds = PlanesSequence(n_frames=args.frames, H=H, W=W)
-    fe = StructuredFakeFrontend(cfg, seed=0, n_cells=n_cells)
-    odom = Odometry(cfg, fe, ds)
 
-    t0 = time.perf_counter()
-    traj = odom.run()
-    wall = time.perf_counter() - t0
+    def run_one(solver):
+        cfg = make_cfg(solver)
+        fe = StructuredFakeFrontend(cfg, seed=0, n_cells=n_cells)
+        odom = Odometry(cfg, fe, ds)
+        t0 = time.perf_counter()
+        traj = odom.run()
+        wall = time.perf_counter() - t0
 
-    est = {ts: np.asarray(T) for ts, T in odom.global_track_trajectory.items()}
-    gt = {ts: np.asarray(ds.poses[int(float(ts))], np.float32) for ts in est}
-    ate = ate_rmse(gt, est)
-    kf_est = {ts: np.asarray(T) for ts, T in traj.items()}
-    kf_gt = {ts: np.asarray(ds.poses[int(float(ts))], np.float32) for ts in kf_est}
-    kf_ate = ate_rmse(kf_gt, kf_est) if len(kf_est) >= 3 else None
+        est = {ts: np.asarray(T) for ts, T in odom.global_track_trajectory.items()}
+        gt = {ts: np.asarray(ds.poses[int(float(ts))], np.float32) for ts in est}
+        ate = ate_rmse(gt, est)
+        kf_est = {ts: np.asarray(T) for ts, T in traj.items()}
+        kf_gt = {ts: np.asarray(ds.poses[int(float(ts))], np.float32) for ts in kf_est}
+        kf_ate = ate_rmse(kf_gt, kf_est) if len(kf_est) >= 3 else None
 
-    print(f"\n[e2e] {len(ds)} frames, {len(traj)} keyframes, "
-          f"{wall:.1f} s wall ({wall / max(len(ds) - 1, 1):.2f} s/frame incl. "
-          f"frontend+mapping)")
-    print(f"[e2e] Sim(3) ATE (all tracked frames): rmse={ate['rmse']:.4f} "
-          f"median={ate['median']:.4f} max={ate['max']:.4f}")
-    if kf_ate:
-        print(f"[e2e] Sim(3) ATE (keyframes): rmse={kf_ate['rmse']:.4f}")
-    print("\n[timing]\n" + odom.timer.report())
+        print(f"\n[e2e:{solver}] {len(ds)} frames, {len(traj)} keyframes, "
+              f"{wall:.1f} s wall ({wall / max(len(ds) - 1, 1):.2f} s/frame "
+              f"incl. frontend+mapping)")
+        print(f"[e2e:{solver}] Sim(3) ATE (all tracked frames): "
+              f"rmse={ate['rmse']:.4f} median={ate['median']:.4f} "
+              f"max={ate['max']:.4f}")
+        if kf_ate:
+            print(f"[e2e:{solver}] Sim(3) ATE (keyframes): rmse={kf_ate['rmse']:.4f}")
+        print("\n[timing]\n" + odom.timer.report())
+        return ate, wall
 
-    assert ate["rmse"] < args.ate_tol, (
-        f"ATE {ate['rmse']:.4f} exceeds tolerance {args.ate_tol}"
+    solvers = ("gn", "adam") if args.solver == "both" else (args.solver,)
+    results = {s: run_one(s) for s in solvers}
+
+    if args.solver == "both":
+        ate_gn, w_gn = results["gn"]
+        ate_ad, w_ad = results["adam"]
+        print(f"\n[e2e] solver comparison (full pipeline, {len(ds)} frames):")
+        print(f"  adam: ATE {ate_ad['rmse']:.4f}  wall {w_ad:.1f} s")
+        print(f"  gn:   ATE {ate_gn['rmse']:.4f}  wall {w_gn:.1f} s "
+              f"(ATE ratio {ate_gn['rmse'] / max(ate_ad['rmse'], 1e-12):.3f}, "
+              f"{w_ad / max(w_gn, 1e-9):.2f}x faster)")
+        assert ate_gn["rmse"] <= 1.1 * ate_ad["rmse"] or ate_gn["rmse"] < args.ate_tol
+
+    for s, (ate, _) in results.items():
+        assert ate["rmse"] < args.ate_tol, (
+            f"[{s}] ATE {ate['rmse']:.4f} exceeds tolerance {args.ate_tol}"
+        )
+    summary = ", ".join(
+        f"{s}: ATE {a[0]['rmse']:.4f}" for s, a in results.items()
     )
-    print(f"\n[e2e] PASS (ATE {ate['rmse']:.4f} < {args.ate_tol})")
+    print(f"\n[e2e] PASS ({summary} < {args.ate_tol})")
 
 
 if __name__ == "__main__":

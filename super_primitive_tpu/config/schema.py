@@ -105,7 +105,11 @@ class TrackConfig:
     steps: tuple = (0, 0, 300)
     solver: str = "adam"       # 'adam' (reference parity) | 'gn' (LM
                                # performance path, solve/gauss_newton.py)
-    gn_max_iters: int = 20
+    # 30: at 15 iters GN tracking lags Adam-300's per-frame ATE 1.8x on the
+    # full-pipeline rendered benchmark; at 30 it matches (ratio 1.07) while
+    # still ~11x cheaper than the Adam schedule (examples/e2e_planes.py
+    # --solver both, round-3 chip runs)
+    gn_max_iters: int = 30
 
 
 @dataclass
