@@ -167,7 +167,9 @@ def main():
         return gn_track(
             bundle, src, trg_img, Kj, kp_logdepth, kp_base, R_init,
             jnp.zeros(2), jnp.zeros(2), geo_dims,
-            max_iters=20, use_affine=True,
+            # the shipped TrackConfig default (30: matches Adam-300's
+            # per-frame ATE on the full-pipeline benchmark, schema.py)
+            max_iters=30, use_affine=True,
         )
 
     run_gn = jax.jit(lambda: solve(R0).final_cost)

@@ -102,6 +102,71 @@ class TestDriverContract:
         assert "dryrun_multichip OK" in proc.stdout, proc.stdout
 
 
+class TestShardedPromptDecode:
+    """The SAM prompt decode is embarrassingly parallel over prompts: the
+    (chunk, ...) batch shards over all devices with params/features
+    replicated and zero collectives — the frontend's multi-chip axis
+    (docs/SCALING.md)."""
+
+    def test_decode_select_matches_unsharded(self, mesh):
+        from super_primitive_tpu.nets.sam.image_encoder import (
+            VIT_TINY_TEST, ImageEncoderViT,
+        )
+        from super_primitive_tpu.nets.sam.mask_decoder import MaskDecoder
+        from super_primitive_tpu.nets.sam.predictor import SamPredictor
+        from super_primitive_tpu.nets.sam.prompt_encoder import PromptEncoder
+
+        cfg = VIT_TINY_TEST
+        S = cfg.img_size // cfg.patch_size
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        params = {
+            "image_encoder": ImageEncoderViT(cfg).init(
+                k1, jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+            )["params"],
+            "prompt_encoder": PromptEncoder(
+                embed_dim=cfg.out_chans, image_embedding_size=(S, S),
+                input_image_size=(cfg.img_size, cfg.img_size),
+            ).init(k2, jnp.zeros((1, 2, 2)), jnp.zeros((1, 2)))["params"],
+            "mask_decoder": MaskDecoder(transformer_dim=cfg.out_chans).init(
+                k3, jnp.zeros((1, S, S, cfg.out_chans)),
+                jnp.zeros((1, S, S, cfg.out_chans)),
+                jnp.zeros((2, 2, cfg.out_chans)),
+                jnp.zeros((2, S, S, cfg.out_chans)),
+            )["params"],
+        }
+        pred = SamPredictor(params, cfg)
+        image = np.random.default_rng(3).integers(0, 255, (48, 60, 3), np.uint8)
+        pred.set_image(image)
+
+        r = np.random.default_rng(4)
+        pts = np.concatenate(
+            [(r.random((8, 1, 2)) * 40).round(), np.zeros((8, 1, 2))], axis=1
+        ).astype(np.float32)
+        labels = np.concatenate(
+            [np.ones((8, 1)), -np.ones((8, 1))], axis=1
+        ).astype(np.float32)
+        input_hw = jnp.asarray(pred._input_hw)
+        thr = jnp.asarray(0.0, jnp.float32)
+        args = (pred.params, pred._features, jnp.asarray(pts),
+                jnp.asarray(labels), input_hw, cfg.img_size, thr, thr)
+
+        plain = pred._decode_select(*args)
+        prompt_sharded = NamedSharding(mesh, P(("dp", "sp")))
+        with mesh:
+            shard = pred._decode_select(
+                pred.params, pred._features,
+                jax.device_put(jnp.asarray(pts), prompt_sharded),
+                jax.device_put(jnp.asarray(labels), prompt_sharded),
+                input_hw, cfg.img_size, thr, thr,
+            )
+        names = ("packed", "iou", "valid", "boxes", "pick")
+        for a, b, n in zip(plain, shard, names):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-4, rtol=1e-4, err_msg=n,
+            )
+
+
 class TestShardedGNMapping:
     """The GN/LM performance path distributes the same way: points over sp,
     pointwise linearization local, reductions psum over ICI."""
