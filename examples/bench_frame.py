@@ -52,7 +52,10 @@ def main():
 
     kwargs = dict(
         geo_dims=geo_dims, levels=(0, 1, 2), pyramid_min=0, pyramid_max=3,
-        max_iters=12, use_affine=True, supp_max_iters=4,
+        # the shipped TrackConfig default (schema.py: 30 matches Adam-300's
+        # per-frame ATE); small-motion steady state early-stops well short
+        # of the cap, so the budget mostly prices the worst case
+        max_iters=30, use_affine=True, supp_max_iters=6,
     )
 
     def step(trg_image):
