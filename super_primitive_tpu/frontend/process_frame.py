@@ -86,13 +86,13 @@ class FrontProcessor:
         Hg, Wg = fc.normals.integration_shape
         K_geom = scale_K(K, Hg / H, Wg / W)
 
-        # 1. normals at network dim -> NN resize to integration shape
+        # 1. normals at network dim (dispatch only — the fetch overlaps the
+        # SAM rounds below: NNET's device work and its ~20 MB host transfer
+        # hide behind the mask generation's compute, saving most of the
+        # normals wall time; BiNI consumes the normals only after masks)
         img01 = image.astype(np.float32) / 255.0
-        with self._stage("normals"):
-            normals, kappa = self.normals_fn(img01)
-            normals = np.asarray(normals)
-        if normals.shape[:2] != (Hg, Wg):
-            normals = _nn_resize(normals, (Hg, Wg))
+        with self._stage("normals_dispatch"):
+            normals_dev, kappa = self.normals_fn(img01)
 
         # 2. SAM masks at infer_resolution
         sam_hw = self.config.sam_params.infer_resolution
@@ -121,6 +121,12 @@ class FrontProcessor:
         if masks.shape[0] == 0:
             raise RuntimeError("frontend produced no masks")
         masks_coarse = _nn_resize(masks, (Hg, Wg)).astype(bool)
+
+        # normals fetch (overlapped with the SAM rounds above) + NN resize
+        with self._stage("normals_fetch"):
+            normals = np.asarray(normals_dev)
+        if normals.shape[:2] != (Hg, Wg):
+            normals = _nn_resize(normals, (Hg, Wg))
 
         # 3. BiNI integration per segment at geometry resolution.
         # Crop/full routing: most segments fit a small window (crop-based
@@ -258,10 +264,18 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
 
     def normals_fn(img01):
         # fp32: NNET is memory-layout bound at this size (47 ms device,
-        # bf16 measured identical), so keep full precision
+        # bf16 measured identical), so keep full precision.  With normals
+        # consumed only at the integration shape (include_normals off),
+        # the NN subsample runs on device and only ~1 MB crosses the relay
+        # (identical values for the reference's integer resize ratios).
+        coarse = (
+            None if config.frontend.include_normals
+            else tuple(config.frontend.normals.integration_shape)
+        )
         return predict_normals(
             nnet_params, jnp.asarray(img01),
             tuple(config.frontend.normals.network_dim),
+            coarse_hw=coarse,
         )
 
     def _to_input_xy(image_uint8, kps_norm):

@@ -144,14 +144,28 @@ import functools
 
 
 @functools.partial(
-    jax.jit, static_argnames=("network_dim", "out_hw", "compute_dtype")
+    jax.jit,
+    static_argnames=("network_dim", "out_hw", "compute_dtype", "coarse_hw"),
 )
-def _predict_normals_jit(params, image_hwc01, network_dim, out_hw, compute_dtype):
+def _predict_normals_jit(params, image_hwc01, network_dim, out_hw,
+                         compute_dtype, coarse_hw=None):
     x = preprocess(image_hwc01, network_dim)[None]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     out = NNET().apply(params, x).astype(jnp.float32)
     out = resize_bilinear_ac(out, out_hw)[0]
+    if coarse_hw is not None:
+        # device-side nearest subsample to the integration shape: the host
+        # pipeline NN-resizes the full-res normals anyway (reference
+        # process_frame.py:137-142), so ship the 0.9 MB coarse field
+        # instead of the ~20 MB full-res one.  Index map src = dst*Hi//Ho
+        # (torch 'nearest'); identical to the cv2 path for the integer
+        # ratios of the reference config (960/240, 1280/320).
+        Hc, Wc = coarse_hw
+        H, W = out.shape[:2]
+        ri = (jnp.arange(Hc) * H) // Hc
+        ci = (jnp.arange(Wc) * W) // Wc
+        out = out[ri[:, None], ci[None, :]]
     return out[..., :3], out[..., 3:]
 
 
@@ -181,17 +195,21 @@ def _cast_params(params, dtype):
 
 
 def predict_normals(params, image_hwc01: jax.Array, network_dim=(480, 640),
-                    compute_dtype=None):
+                    compute_dtype=None, coarse_hw=None):
     """Run NNET, returning (normals (H, W, 3), kappa (H, W, 1)) resized back
     to the input resolution.  One jitted dispatch end to end — resize,
     normalize, network and back-resize all fuse on device.
 
     ``compute_dtype=jnp.bfloat16`` runs the net at MXU rate (outputs are
     re-normalized unit normals; bf16 noise ~2e-3 is far below the net's own
-    uncertainty).  None keeps float32 (checkpoint-validation parity)."""
+    uncertainty).  None keeps float32 (checkpoint-validation parity).
+    ``coarse_hw``: additionally nearest-subsample the outputs on device
+    (the frontend's integration shape) so only the coarse field crosses
+    the host boundary."""
     if compute_dtype is not None:
         params = _cast_params(params, compute_dtype)
     return _predict_normals_jit(
         params, image_hwc01, tuple(network_dim), image_hwc01.shape[:2],
         compute_dtype,
+        tuple(coarse_hw) if coarse_hw is not None else None,
     )

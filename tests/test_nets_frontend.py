@@ -61,6 +61,30 @@ class TestNNET:
         )
         assert np.all(np.asarray(out[..., 3]) > 0)  # kappa positive
 
+    def test_coarse_hw_matches_host_nn_resize(self):
+        """Device-side coarse subsample == the host _nn_resize it replaces
+        (integer ratios, the reference config's case)."""
+        from super_primitive_tpu.frontend.process_frame import _nn_resize
+        from super_primitive_tpu.nets.nnet import predict_normals
+
+        model = NNET()
+        x0 = jnp.zeros((1, 64, 96, 3))
+        params = model.init(jax.random.PRNGKey(0), x0)
+        img = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 1, (128, 192, 3)).astype(np.float32)
+        )
+        n_full, k_full = predict_normals(params, img, network_dim=(64, 96))
+        n_c, k_c = predict_normals(
+            params, img, network_dim=(64, 96), coarse_hw=(32, 48)
+        )
+        np.testing.assert_allclose(
+            np.asarray(n_c), _nn_resize(np.asarray(n_full), (32, 48)), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_c)[..., 0],
+            _nn_resize(np.asarray(k_full)[..., 0], (32, 48)), atol=1e-6
+        )
+
     def test_resize_matches_torch_align_corners(self):
         import torch
 
