@@ -138,18 +138,21 @@ def bilinear_sample_packed(
     return samples, valid
 
 
-def bilinear_sample_grad_packed(
-    packed: jax.Array, coords_norm: jax.Array
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """:func:`bilinear_sample_grad` on a :func:`pack_bilinear_taps` image.
+def bilinear_cell_index(
+    coords_norm: jax.Array, hw: tuple[int, int]
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Cell-origin row index + fractional weights + validity for a
+    :func:`pack_bilinear_taps` image of shape ``hw`` — the gather-free half
+    of :func:`bilinear_sample_grad_packed`.
 
-    Returns (samples (..., N, C), dval_dcoord (..., N, C, 2), valid (..., N)).
-    Identical to the unpacked version for every point with ``valid`` True;
-    out-of-bound points return clamped-cell values and MUST be masked by the
-    caller (see the packing contract).
-    """
-    H, W, C4 = packed.shape
-    C = C4 // 4
+    Returns (lin_idx (..., N) int32 into the (H*W, 4C)-flattened packed
+    image, wx (..., N), wy (..., N), valid (..., N) bool).  Callers that
+    sample MANY images in one dispatch can offset these indices into a
+    single flattened pool and issue ONE gather for all of them: on TPU a
+    single-pool gather runs ~2x faster than the same rows fetched as
+    separate per-image gathers serialized under a scan (the gn_mapping
+    linearization does exactly this)."""
+    H, W = hw
     x = (coords_norm[..., 0] + 1.0) * 0.5 * (W - 1)
     y = (coords_norm[..., 1] + 1.0) * 0.5 * (H - 1)
 
@@ -162,17 +165,42 @@ def bilinear_sample_grad_packed(
 
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    return y0i * W + x0i, wx, wy, valid
 
-    flat = packed.reshape(H * W, C4)
-    taps = jnp.take(flat, y0i * W + x0i, axis=0)           # (..., N, 4C)
+
+def bilinear_grad_from_taps(
+    taps: jax.Array, wx: jax.Array, wy: jax.Array, hw: tuple[int, int]
+) -> tuple[jax.Array, jax.Array]:
+    """Value + in-cell derivative from pre-gathered packed taps (..., 4C)
+    and :func:`bilinear_cell_index` weights.  Returns (samples (..., C),
+    dval_dcoord (..., C, 2)) — the post-gather half of
+    :func:`bilinear_sample_grad_packed`."""
+    H, W = hw
+    C = taps.shape[-1] // 4
     v00 = taps[..., 0 * C : 1 * C]
     v01 = taps[..., 1 * C : 2 * C]
     v10 = taps[..., 2 * C : 3 * C]
     v11 = taps[..., 3 * C : 4 * C]
+    wxc = wx[..., None].astype(taps.dtype)
+    wyc = wy[..., None].astype(taps.dtype)
+    return _lerp_and_grad(v00, v01, v10, v11, wxc, wyc, H, W)
 
-    wxc = wx[..., None].astype(packed.dtype)
-    wyc = wy[..., None].astype(packed.dtype)
-    samples, dval = _lerp_and_grad(v00, v01, v10, v11, wxc, wyc, H, W)
+
+def bilinear_sample_grad_packed(
+    packed: jax.Array, coords_norm: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`bilinear_sample_grad` on a :func:`pack_bilinear_taps` image.
+
+    Returns (samples (..., N, C), dval_dcoord (..., N, C, 2), valid (..., N)).
+    Identical to the unpacked version for every point with ``valid`` True;
+    out-of-bound points return clamped-cell values and MUST be masked by the
+    caller (see the packing contract).
+    """
+    H, W, C4 = packed.shape
+    idx, wx, wy, valid = bilinear_cell_index(coords_norm, (H, W))
+    flat = packed.reshape(H * W, C4)
+    taps = jnp.take(flat, idx, axis=0)                     # (..., N, 4C)
+    samples, dval = bilinear_grad_from_taps(taps, wx, wy, (H, W))
     return samples, dval, valid
 
 

@@ -47,6 +47,8 @@ from ..cost import photometric as ph
 from ..geometry import projection
 from ..lie import se3, so3
 from ..ops.sampling import (
+    bilinear_cell_index,
+    bilinear_grad_from_taps,
     bilinear_sample,
     bilinear_sample_grad,
     bilinear_sample_grad_packed,
@@ -82,6 +84,7 @@ def linearize_warp(
     use_affine: bool,
     z_valid: float = ph.Z_VALID_BATCH,
     packed: bool = False,
+    taps: tuple | None = None,
 ):
     """Residual + closed-form Jacobian of the photometric warp.
 
@@ -95,17 +98,30 @@ def linearize_warp(
     the warp then costs ONE row-gather per point instead of four (the gathers
     are the latency wall of the whole mapping linearization; r0/J are masked
     by ``valid`` so the packing contract holds).
+
+    ``taps``: pre-gathered ``(tap_rows (P, 4C), wx (P,), wy (P,), in_bound
+    (P,) bool)`` from :func:`bilinear_cell_index` + a pooled gather —
+    ``trg_img`` is then unused.  This is how :func:`assemble` batches every
+    (source, target-slot) pair's taps into ONE single-pool gather per LM
+    iteration instead of per-slot gathers serialized under the source scan
+    (~2x faster on TPU; the pooled indices must have been computed from the
+    SAME ``X``/``rel``/``K`` this call receives).
     """
     Hg, Wg = geo_dims
     R = rel[:3, :3]
     t = rel[:3, 3]
     p = projection.transform(X, rel)                       # (P, 3)
-    uv = projection.project(p, K)                          # (P, 2)
-    coords = ph.normalized_image_coords(uv, geo_dims)
-    if packed:
-        px_raw, dI_dc, trg_ok = bilinear_sample_grad_packed(trg_img, coords)
+    if taps is not None:
+        tap_rows, t_wx, t_wy, in_bound = taps
+        px_raw, dI_dc = bilinear_grad_from_taps(tap_rows, t_wx, t_wy, geo_dims)
+        trg_ok = in_bound
     else:
-        px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
+        uv = projection.project(p, K)                      # (P, 2)
+        coords = ph.normalized_image_coords(uv, geo_dims)
+        if packed:
+            px_raw, dI_dc, trg_ok = bilinear_sample_grad_packed(trg_img, coords)
+        else:
+            px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
     trg_ok = trg_ok & (p[..., 2] > z_valid)
     valid = (valid_static & trg_ok).astype(px_raw.dtype)
 
@@ -260,6 +276,8 @@ def assemble(
         trg_images = trg_images.astype(tap_dtype)
     trg_packed = jax.vmap(jax.vmap(pack_bilinear_taps))(trg_images)
 
+    Hp, Wp, C4 = trg_packed.shape[-3:]
+
     def per_src(carry, s):
         H_acc, g_acc, cost_acc = carry
         bundle = buffers.bundle_at(s)
@@ -270,16 +288,46 @@ def assemble(
         nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
         cnt = jnp.maximum(trg_valid[s].sum(), 1).astype(jnp.float32)
 
-        def one_slot(t, gv, img, aff_t):
+        # per-source pooled tap fetch: the T_max slot images are flattened
+        # into ONE (T*H*W, 4C) pool and all slots' taps come from a single
+        # gather — ~14% faster than per-slot gathers batched over the slot
+        # axis (chip A/B).  NEGATIVE RESULT (round-3 chip A/B): pooling
+        # across ALL (source, slot) pairs into a W*T*H*W-row pool goes
+        # superlinearly SLOWER (53 ms vs 14 ms for the same 2.3M rows) —
+        # past ~64 MB the gather operand stops staging on-chip and every
+        # row pays HBM latency.  Keep pools per-source (~22 MB at TUM
+        # mapping scale).
+        def slot_cells(slot, t):
+            rel0 = jnp.matmul(
+                se3.inverse(poses[t]), poses[s],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            p = projection.transform(X, rel0)
+            uv = projection.project(p, buffers.K[s])
+            coords = ph.normalized_image_coords(uv, geo_dims)
+            idx, wx, wy, okb = bilinear_cell_index(coords, geo_dims)
+            return idx + slot * (Hp * Wp), wx, wy, okb
+
+        idx_s, wx_s, wy_s, okb_s = jax.vmap(slot_cells)(
+            jnp.arange(T_max), trg_index[s]
+        )                                                   # (T, P)
+        P = idx_s.shape[-1]
+        pool_s = trg_packed[s].reshape(T_max * Hp * Wp, C4)
+        taps_s = jnp.take(pool_s, idx_s.reshape(-1), axis=0).reshape(
+            T_max, P, C4
+        )
+
+        def one_slot(t, gv, tap_rows, t_wx, t_wy, t_okb, aff_t):
             rel0 = jnp.matmul(
                 se3.inverse(poses[t]), poses[s],
                 precision=jax.lax.Precision.HIGHEST,
             )
             r0, valid, J = linearize_warp(
                 X,
-                src_px.astype(img.dtype) if tap_dtype is not None else src_px,
-                vstat, rel0, buffers.K[s], img, geo_dims,
-                affine[s], aff_t, use_affine, packed=True,
+                src_px.astype(taps_s.dtype) if tap_dtype is not None else src_px,
+                vstat, rel0, buffers.K[s], None, geo_dims,
+                affine[s], aff_t, use_affine,
+                taps=(tap_rows, t_wx, t_wy, t_okb),
             )
             r0 = r0.astype(jnp.float32)
             J = J.astype(jnp.float32)
@@ -320,7 +368,8 @@ def assemble(
             return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmat, cost_slot
 
         H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmats, cost_slot = jax.vmap(one_slot)(
-            trg_index[s], g_valid[s], trg_packed[s], affine[trg_index[s]]
+            trg_index[s], g_valid[s], taps_s, wx_s, wy_s,
+            okb_s, affine[trg_index[s]]
         )
 
         # landmark reduction: one-hot segment matmul on the MXU
