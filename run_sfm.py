@@ -41,45 +41,60 @@ def build_frontend_from_args(args, config):
     return build_frontend(config, sam_tree, nnet_tree)
 
 
+def window_clouds(odom, with_seg=False):
+    """Lift the odometry window's keyframes to world-frame colored clouds:
+    {kfN: (points, colors[, seg_ids])}.  ``with_seg`` attaches per-point
+    segment ids so the HTML viewer's click-to-pick segment interaction works
+    (the reference GUI's picker, gui/odometery_gui.py:397-422)."""
+    from super_primitive_tpu.viz.export import keyframe_pointcloud
+
+    buf = odom.buffers
+    clouds = {}
+    kp_ld = np.asarray(buf.kp_logdepth)
+    kp_base = np.asarray(buf.kp_base)
+    for i in range(odom.num_kfs):
+        uv = np.asarray(buf.uv[i])
+        seg = np.asarray(buf.seg_id[i])
+        base = np.asarray(buf.base_logdepth[i])
+        valid = np.asarray(buf.point_valid[i])
+        logd = base + (kp_ld[i] - kp_base[i])[seg]
+        img = np.asarray(buf.images[i])
+        cols = img.reshape(-1, img.shape[-1])[:, :3][
+            np.clip(
+                np.round(uv[:, 1]).astype(int) * img.shape[1]
+                + np.round(uv[:, 0]).astype(int),
+                0, img.shape[0] * img.shape[1] - 1,
+            )
+        ]
+        pts, _ = keyframe_pointcloud(
+            uv, np.exp(logd), np.asarray(buf.K[i]),
+            np.asarray(buf.poses[i]), valid=valid,
+        )
+        clouds[f"kf{i}"] = (
+            (pts, cols[valid], seg[valid]) if with_seg else (pts, cols[valid])
+        )
+    return clouds
+
+
+def track_positions(odom):
+    return np.asarray(
+        [np.asarray(T)[:3, 3] for _, T in sorted(
+            odom.global_track_trajectory.items(), key=lambda kv: int(kv[0])
+        )]
+    )
+
+
 def make_odometry_live_cb(live_dir):
     """Per-frame live snapshot for the odometry driver: current window
     point clouds + tracked trajectory, then honor the pause marker."""
-    from super_primitive_tpu.viz.export import keyframe_pointcloud
     from super_primitive_tpu.viz.live import LiveViz
 
     lv = LiveViz(live_dir, title="odometry (live)")
 
     def cb(odom, frame_id):
-        buf = odom.buffers
-        clouds = {}
-        kp_ld = np.asarray(buf.kp_logdepth)
-        kp_base = np.asarray(buf.kp_base)
-        for i in range(odom.num_kfs):
-            uv = np.asarray(buf.uv[i])
-            seg = np.asarray(buf.seg_id[i])
-            base = np.asarray(buf.base_logdepth[i])
-            valid = np.asarray(buf.point_valid[i])
-            logd = base + (kp_ld[i] - kp_base[i])[seg]
-            img = np.asarray(buf.images[i])
-            cols = img.reshape(-1, img.shape[-1])[:, :3][
-                np.clip(
-                    np.round(uv[:, 1]).astype(int) * img.shape[1]
-                    + np.round(uv[:, 0]).astype(int),
-                    0, img.shape[0] * img.shape[1] - 1,
-                )
-            ]
-            pts, _ = keyframe_pointcloud(
-                uv, np.exp(logd), np.asarray(buf.K[i]),
-                np.asarray(buf.poses[i]), valid=valid,
-            )
-            clouds[f"kf{i}"] = (pts, cols[valid])
-        traj = np.asarray(
-            [np.asarray(T)[:3, 3] for _, T in sorted(
-                odom.global_track_trajectory.items(), key=lambda kv: int(kv[0])
-            )]
-        )
+        traj = track_positions(odom)
         lv.update(
-            clouds,
+            window_clouds(odom),
             trajectories={"track": traj} if len(traj) >= 2 else None,
             label=f"frame {frame_id} | {odom.num_kfs} KFs",
         )
@@ -179,6 +194,13 @@ def run_two_frame(config, frontend, dataset, live_dir=None):
         np.eye(4), valid=np.asarray(bundle.valid),
     )
     save_ply(os.path.join(out_dir, "src_pointcloud.ply"), pts)
+    from super_primitive_tpu.viz.viewer import save_html_viewer
+
+    save_html_viewer(
+        os.path.join(out_dir, "viewer.html"),
+        {"src": (pts, None, np.asarray(bundle.seg_id)[np.asarray(bundle.valid)])},
+        title="two-frame SfM result (click a point to pick its segment)",
+    )
     np.savez(
         os.path.join(out_dir, "two_frame_result.npz"),
         pose=np.asarray(poses[0]), kp_logdepth=np.asarray(ld),
@@ -203,6 +225,17 @@ def run_odometry(config, frontend, dataset, max_frames=None, live_dir=None):
         print(f"[live] serve with: python -m super_primitive_tpu.viz.serve "
               f"{live_dir}  ->  http://localhost:8765/live.html", flush=True)
     traj = odom.run(max_frames=max_frames)
+
+    # final interactive map: window clouds with pickable segments
+    from super_primitive_tpu.viz.viewer import save_html_viewer
+
+    tp = track_positions(odom)
+    save_html_viewer(
+        os.path.join(config.save_path, "viewer.html"),
+        window_clouds(odom, with_seg=True),
+        trajectories={"track": tp} if len(tp) >= 2 else None,
+        title="odometry final window (click a point to pick its segment)",
+    )
 
     # TUM-format export for external evo if desired (convert_traj_to_tum.py)
     from super_primitive_tpu.odometry.io import export_tum_trajectory

@@ -124,6 +124,9 @@ class TestCliOdometry:
         )
         assert live["seq"] >= 7 and live["clouds"], live["seq"]
         assert (out_dir / "live" / "live.html").exists()
+        # final interactive map with pickable segments (seg payload present)
+        viewer = (out_dir / "viewer.html").read_text()
+        assert '"seg":' in viewer and "pickables" in viewer
 
         # the standalone converter reproduces the export from the saved run
         conv = subprocess.run(
@@ -193,5 +196,6 @@ alignment:
         # GT+noise init (sigma 0.05) must not diverge; joint solve refines
         assert err < 0.12, proc.stdout[-1500:]
         assert os.path.exists(out / "src_pointcloud.ply")
+        assert '"seg":' in (out / "viewer.html").read_text()
         res = np.load(out / "two_frame_result.npz")
         assert np.all(np.isfinite(res["pose"])) and res["pose"].shape == (4, 4)

@@ -54,6 +54,39 @@ class TestViewer:
         np.testing.assert_allclose(fxyz, pts * 2)
         np.testing.assert_array_equal(frgb, 180)  # default grey
 
+    def test_segment_ids_roundtrip(self, tmp_path):
+        r = np.random.default_rng(1)
+        pts = r.normal(size=(50, 3)).astype(np.float32)
+        seg = r.integers(0, 7, size=(50,)).astype(np.int32)
+        frames = [{"label": "it", "loss": 1.0,
+                   "clouds": {"est": (pts, None, seg)}}]
+        path = save_html_viewer(
+            str(tmp_path / "v.html"),
+            {"kf0": (pts, None, seg), "plain": (pts, None)},
+            frames=frames,
+        )
+        data = _extract_data(open(path).read())
+        got = np.frombuffer(
+            base64.b64decode(data["clouds"]["kf0"]["seg"]), np.uint16
+        )
+        np.testing.assert_array_equal(got, seg.astype(np.uint16))
+        assert "seg" not in data["clouds"]["plain"]
+        fgot = np.frombuffer(
+            base64.b64decode(data["frames"][0]["clouds"]["est"]["seg"]), np.uint16
+        )
+        np.testing.assert_array_equal(fgot, seg.astype(np.uint16))
+
+    def test_picker_template_markers(self, tmp_path):
+        # the segment-picker machinery must survive template edits: a pick
+        # framebuffer pass, id-color decode, and the selection UI element
+        path = save_html_viewer(
+            str(tmp_path / "v.html"), {"c": (np.zeros((1, 3)), None)}
+        )
+        html = open(path).read()
+        for marker in ("readPixels", "createFramebuffer", "pickables",
+                       "selActive", "new Map()"):
+            assert marker in html, marker
+
     def test_template_self_contained(self, tmp_path):
         path = save_html_viewer(
             str(tmp_path / "v.html"), {"c": (np.zeros((1, 3)), None)}
