@@ -100,7 +100,20 @@ def build_slots(
         src_valid[src] = True
         trg_index[src, : len(slots)] = slots
         trg_valid[src, : len(slots)] = True
-    return MapSlots(trg_index=trg_index, trg_valid=trg_valid, src_valid=src_valid)
+    # Trim trailing all-invalid slot columns.  The solvers gather/warp P
+    # bundle points per (source, slot) REGARDLESS of trg_valid (static
+    # shapes), so padding columns are pure wasted gather rows — 67% of the
+    # linearization's rows in a chain-only window (2 valid of 2+2S columns).
+    # Slots are front-packed per source, so slicing columns loses nothing.
+    # Bucket the kept count to even values so the jitted solvers see at most
+    # T_max/2 distinct shapes across window states (bounded recompiles).
+    used = int(trg_valid.any(axis=0).sum())
+    keep = 1 if used == 0 else min(T_max, used + (used % 2))
+    return MapSlots(
+        trg_index=np.ascontiguousarray(trg_index[:, :keep]),
+        trg_valid=np.ascontiguousarray(trg_valid[:, :keep]),
+        src_valid=src_valid,
+    )
 
 
 def build_masks(

@@ -85,6 +85,7 @@ def linearize_warp(
     z_valid: float = ph.Z_VALID_BATCH,
     packed: bool = False,
     taps: tuple | None = None,
+    taps_hw: tuple[int, int] | None = None,
 ):
     """Residual + closed-form Jacobian of the photometric warp.
 
@@ -106,6 +107,12 @@ def linearize_warp(
     iteration instead of per-slot gathers serialized under the source scan
     (~2x faster on TPU; the pooled indices must have been computed from the
     SAME ``X``/``rel``/``K`` this call receives).
+
+    ``taps_hw``: the dims of the image the taps were gathered from, when
+    they differ from ``geo_dims`` (coarse pyramid levels under geo_down
+    semantics: coords stay normalized over the geo grid, but the tap cell
+    grid and the dI/dcoords scale belong to the IMAGE — exactly what the
+    non-pooled paths derive from ``trg_img.shape`` themselves).
     """
     Hg, Wg = geo_dims
     R = rel[:3, :3]
@@ -113,7 +120,9 @@ def linearize_warp(
     p = projection.transform(X, rel)                       # (P, 3)
     if taps is not None:
         tap_rows, t_wx, t_wy, in_bound = taps
-        px_raw, dI_dc = bilinear_grad_from_taps(tap_rows, t_wx, t_wy, geo_dims)
+        px_raw, dI_dc = bilinear_grad_from_taps(
+            tap_rows, t_wx, t_wy, taps_hw if taps_hw is not None else geo_dims
+        )
         trg_ok = in_bound
     else:
         uv = projection.project(p, K)                      # (P, 2)
@@ -305,7 +314,11 @@ def assemble(
             p = projection.transform(X, rel0)
             uv = projection.project(p, buffers.K[s])
             coords = ph.normalized_image_coords(uv, geo_dims)
-            idx, wx, wy, okb = bilinear_cell_index(coords, geo_dims)
+            # cell grid = the IMAGE dims (Hp, Wp), not geo_dims: under
+            # geo_down semantics coarse-level images are smaller than the
+            # geo grid, and a geo-grid index into the image-shaped pool
+            # lands out of bounds (jnp.take fills OOB rows with NaN)
+            idx, wx, wy, okb = bilinear_cell_index(coords, (Hp, Wp))
             return idx + slot * (Hp * Wp), wx, wy, okb
 
         idx_s, wx_s, wy_s, okb_s = jax.vmap(slot_cells)(
@@ -328,6 +341,7 @@ def assemble(
                 vstat, rel0, buffers.K[s], None, geo_dims,
                 affine[s], aff_t, use_affine,
                 taps=(tap_rows, t_wx, t_wy, t_okb),
+                taps_hw=(Hp, Wp),
             )
             r0 = r0.astype(jnp.float32)
             J = J.astype(jnp.float32)

@@ -86,6 +86,39 @@ def run_adam(buf, geo_dims, iters, num_kfs=3):
     ), slots, masks
 
 
+class TestSlotTrim:
+    """build_slots trims trailing all-invalid slot columns (the solvers
+    gather P rows per (source, slot) regardless of validity, so padding
+    columns are pure wasted gather rows) with even-count bucketing so the
+    jitted solvers see a bounded set of shapes."""
+
+    def test_chain_only_trims_to_two(self):
+        supp_valid = np.zeros((5, 2), bool)
+        s = mapper.build_slots(5, 5, supp_valid, "map")
+        assert s.trg_index.shape == (5, 2)
+        # chain connectivity intact: middle sources keep both neighbors
+        assert s.trg_valid[2].tolist() == [True, True]
+        assert s.trg_index[2].tolist() == [1, 3]
+        assert s.trg_valid[0].tolist() == [True, False]
+
+    def test_bucketing_is_even(self):
+        supp_valid = np.zeros((5, 2), bool)
+        supp_valid[1, 0] = True  # src 1 and 2 gain one supp target -> 3 used
+        s = mapper.build_slots(5, 5, supp_valid, "map")
+        assert s.trg_index.shape[1] == 4  # 3 rounded up to even
+        supp_valid[:] = True
+        s = mapper.build_slots(5, 5, supp_valid, "map")
+        assert s.trg_index.shape[1] == 6  # full 2 + 2*S grid
+
+    def test_supp_mode_and_empty(self):
+        supp_valid = np.zeros((3, 2), bool)
+        s = mapper.build_slots(3, 5, supp_valid, "supp")
+        assert s.trg_index.shape[1] == 2  # last KF's single chain target
+        assert s.src_valid.tolist() == [False, False, True, False, False]
+        s = mapper.build_slots(1, 5, supp_valid, "map")
+        assert s.trg_index.shape[1] == 1 and not s.trg_valid.any()
+
+
 class TestAdamMapping:
     def test_cost_decreases_and_poses_improve(self, window_setup):
         buf, gt_poses, geo_dims = window_setup
@@ -197,6 +230,59 @@ class TestAnalyticJacobian:
         np.testing.assert_allclose(
             np.asarray(J), np.asarray(J_ref), atol=2e-4, rtol=1e-4
         )
+
+    @pytest.mark.parametrize("img_hw", [(24, 32), (6, 8)])
+    def test_pooled_taps_match_direct_at_any_image_dims(self, img_hw):
+        """The pooled-tap path (cell index + pooled gather + taps_hw) must
+        equal direct image sampling, INCLUDING when the image is smaller
+        than the geo grid (coarse pyramid levels under geo_down semantics).
+        Regression: the cell grid was computed on geo_dims, sending every
+        index out of the image-shaped pool, which jnp.take fills with NaN."""
+        from super_primitive_tpu.ops.sampling import (
+            bilinear_cell_index, pack_bilinear_taps,
+        )
+
+        r = np.random.default_rng(5)
+        P, Hg, Wg = 257, 24, 32
+        Hi, Wi = img_hw
+        geo_dims = (Hg, Wg)
+        K = jnp.asarray(
+            [[1.1 * Wg, 0, Wg / 2], [0, 1.1 * Wg, Hg / 2], [0, 0, 1.0]],
+            jnp.float32,
+        )
+        X = jnp.asarray(np.stack([
+            r.uniform(-0.4, 0.4, P), r.uniform(-0.3, 0.3, P),
+            r.uniform(0.5, 2.0, P),
+        ], axis=-1).astype(np.float32))
+        src_px = jnp.asarray(r.uniform(0, 1, (P, 3)).astype(np.float32))
+        vstat = jnp.asarray(r.uniform(size=P) > 0.1)
+        rel = jnp.asarray(np.asarray(
+            se3.exp(jnp.asarray(0.05 * r.normal(size=6).astype(np.float32)))
+        ))
+        img = jnp.asarray(r.uniform(0, 1, (Hi, Wi, 3)).astype(np.float32))
+        a0 = jnp.zeros(2)
+
+        r0_ref, valid_ref, J_ref = linearize_warp(
+            X, src_px, vstat, rel, K, img, geo_dims, a0, a0, False
+        )
+
+        from super_primitive_tpu.cost import photometric as ph
+        from super_primitive_tpu.geometry import projection
+
+        p = projection.transform(X, rel)
+        coords = ph.normalized_image_coords(projection.project(p, K), geo_dims)
+        idx, wx, wy, okb = bilinear_cell_index(coords, (Hi, Wi))
+        pool = pack_bilinear_taps(img).reshape(Hi * Wi, -1)
+        taps = jnp.take(pool, idx, axis=0)
+        r0, valid, J = linearize_warp(
+            X, src_px, vstat, rel, K, None, geo_dims, a0, a0, False,
+            taps=(taps, wx, wy, okb), taps_hw=(Hi, Wi),
+        )
+        assert np.isfinite(np.asarray(r0)).all()
+        assert np.isfinite(np.asarray(J)).all()
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r0_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref), atol=1e-5)
 
 
 class TestGNMapping:
