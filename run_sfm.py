@@ -178,10 +178,24 @@ def run_two_frame(config, frontend, dataset, live_dir=None):
 
         snapshot_every = 50
 
-    poses, ld, losses = solve_two_frame(
-        src_pyr, [trg_pyr], T_init[None], ld0, cfg,
-        snapshot_cb=snapshot_cb, snapshot_every=snapshot_every or 0,
-    )
+    if config.alignment.mapping.solver == "gn":
+        # LM + Schur performance path (solve/gn_mapping.py), selected the
+        # same way as odometry's mapping solver: alignment.mapping.solver
+        from super_primitive_tpu.solve.two_frame import solve_two_frame_gn
+
+        if live_dir:
+            print("[live] note: per-iteration snapshots are an Adam-path "
+                  "feature; the GN solve publishes no live frames")
+        poses, ld, gn_losses = solve_two_frame_gn(
+            src_pyr, [trg_pyr], T_init[None], ld0,
+            max_iters=config.alignment.mapping.gn_max_iters,
+        )
+        losses = [jnp.asarray([init, final]) for init, final in gn_losses]
+    else:
+        poses, ld, losses = solve_two_frame(
+            src_pyr, [trg_pyr], T_init[None], ld0, cfg,
+            snapshot_cb=snapshot_cb, snapshot_every=snapshot_every or 0,
+        )
 
     out_dir = config.save_path
     os.makedirs(out_dir, exist_ok=True)

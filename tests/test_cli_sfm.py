@@ -163,7 +163,8 @@ def replica_dir(tum_dir, tmp_path):
 
 
 class TestCliTwoFrame:
-    def test_run_sfm_two_frame_subprocess(self, replica_dir, tmp_path):
+    @pytest.mark.parametrize("solver", ["adam", "gn"])
+    def test_run_sfm_two_frame_subprocess(self, replica_dir, tmp_path, solver):
         root, K = replica_dir
         out = tmp_path / "results_tf"
         cfg = f"""
@@ -179,6 +180,9 @@ frontend:
 alignment:
   pyramid_min: 0
   pyramid_max: 2
+  mapping:
+    solver: {solver}
+    gn_max_iters: 25
 """
         cfg_path = tmp_path / "tf_plane.yaml"
         cfg_path.write_text(cfg)
