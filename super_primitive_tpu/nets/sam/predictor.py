@@ -65,6 +65,22 @@ def _phase_upsample_counts(x: jax.Array, s: int, input_hw: jax.Array):
     return hi / jnp.maximum(lo, 1), area
 
 
+def phase_upsample_counts(x: jax.Array, s: int, input_hw: jax.Array):
+    """Dispatch for :func:`_phase_upsample_counts`: on TPU at production
+    slab sizes, a fused Pallas kernel computes all s^2 phases in one VMEM
+    pass per mask (the XLA lowering pays 3*s^2 full reductions over the
+    (B*M, S, S) slab — ~32 ms of the select round's ~80 ms device time;
+    ops/pallas_phase_counts.py).  Counts are integer-valued, so the two
+    paths agree exactly (asserted in tests/test_sam_pipeline.py)."""
+    S = x.shape[-1]
+    if jax.default_backend() == "tpu" and S % 128 == 0:
+        from ...ops.pallas_phase_counts import phase_counts_pallas
+
+        hi, lo, area = phase_counts_pallas(x, s, input_hw)
+        return hi / jnp.maximum(lo, 1.0), area
+    return _phase_upsample_counts(x, s, input_hw)
+
+
 def _packbits_lastaxis(masks: jax.Array) -> jax.Array:
     """(..., W) bool -> (..., W//8) uint8, MSB-first (np.unpackbits order)."""
     W = masks.shape[-1]
@@ -200,7 +216,7 @@ class SamPredictor:
             x = lowres.reshape(B * M, S, S)
 
             s = self.target_length // S
-            stability, areas = _phase_upsample_counts(x, s, input_hw)
+            stability, areas = phase_upsample_counts(x, s, input_hw)
 
             if out_size == S:
                 xb = x
@@ -249,7 +265,7 @@ class SamPredictor:
             B, M = lowres.shape[:2]
             S = lowres.shape[-1]
             s = self.target_length // S
-            stability, areas = _phase_upsample_counts(
+            stability, areas = phase_upsample_counts(
                 lowres.reshape(B * M, S, S), s, input_hw
             )
             stability = stability.reshape(B, M)

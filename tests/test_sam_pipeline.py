@@ -184,6 +184,30 @@ class TestPhaseUpsampleCounts:
         np.testing.assert_array_equal(np.asarray(area), np.asarray(ref_area))
         np.testing.assert_allclose(np.asarray(stab), np.asarray(ref_stab), atol=2e-3)
 
+    def test_pallas_kernel_matches_jnp(self):
+        """The fused Pallas phase-count kernel (one VMEM pass, TPU select
+        round) must reproduce the jnp reference exactly — counts are
+        integer-valued, so no float-assoc tolerance is needed."""
+        from super_primitive_tpu.nets.sam.predictor import (
+            _phase_upsample_counts,
+        )
+        from super_primitive_tpu.ops.pallas_phase_counts import (
+            phase_counts_pallas,
+        )
+
+        r = np.random.default_rng(11)
+        S, s = 128, 4  # production-gated slab size (S % 128 == 0)
+        x = jnp.asarray(r.normal(size=(3, S, S)).astype(np.float32))
+        input_hw = jnp.asarray([s * S - 9, s * S - 21])
+
+        ref_stab, ref_area = _phase_upsample_counts(x, s, input_hw)
+        hi, lo, area = phase_counts_pallas(x, s, input_hw, interpret=True)
+        stab = hi / np.maximum(np.asarray(lo), 1.0)
+        np.testing.assert_array_equal(np.asarray(area), np.asarray(ref_area))
+        np.testing.assert_allclose(
+            np.asarray(stab), np.asarray(ref_stab), atol=1e-6
+        )
+
     def test_packbits_roundtrip(self):
         from super_primitive_tpu.nets.sam.predictor import _packbits_lastaxis
 
