@@ -140,6 +140,11 @@ class MLP(nn.Module):
 class MaskDecoder(nn.Module):
     transformer_dim: int = 256
     num_multimask_outputs: int = 3
+    # tanh-approximate GELU in the upscaling head: the exact erf on the
+    # (B, 128, 128, 64) + (B, 256, 256, 32) activations is ~13 ms of the
+    # 320-prompt decode's ~60 ms device time (chip A/B, /tmp probe round 3;
+    # same trade as the encoder's gelu_approx).  Off for checkpoint parity.
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt):
@@ -179,11 +184,11 @@ class MaskDecoder(nn.Module):
             self.transformer_dim // 4, (2, 2), strides=(2, 2), name="upscale_conv1"
         )(src_img)
         up = LayerNorm2d(name="upscale_ln")(up)
-        up = nn.gelu(up, approximate=False)
+        up = nn.gelu(up, approximate=self.gelu_approx)
         up = nn.ConvTranspose(
             self.transformer_dim // 8, (2, 2), strides=(2, 2), name="upscale_conv2"
         )(up)
-        up = nn.gelu(up, approximate=False)
+        up = nn.gelu(up, approximate=self.gelu_approx)
 
         hyper = jnp.stack(
             [

@@ -142,7 +142,13 @@ class SamPredictor:
             image_embedding_size=(self.embed_size, self.embed_size),
             input_image_size=(cfg.img_size, cfg.img_size),
         )
-        self.decoder = MaskDecoder(transformer_dim=cfg.out_chans)
+        # tanh GELU in the decoder head on the reduced-precision path only
+        # (exact erf kept for the f32 checkpoint-validation path, like the
+        # encoder's gelu_approx)
+        self.decoder = MaskDecoder(
+            transformer_dim=cfg.out_chans,
+            gelu_approx=compute_dtype is not None,
+        )
         self._features = None
         self._input_hw = None
         self._orig_hw = None
