@@ -444,5 +444,49 @@ def bench_frontend_keyframe(jax, jnp):
     return 1000 * min(times), stages
 
 
+def _probe_tpu(budget_s: float = 900.0) -> bool:
+    """True once the TPU backend answers; False after ``budget_s`` of retries.
+
+    Backend init goes through a remote relay; when the relay is down,
+    ``jax.devices()`` blocks forever with no timeout of its own.  Probing in
+    a killable subprocess keeps the benchmark from hanging the driver — a
+    dead relay yields an honest error JSON instead of a stall.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(120.0, max(10.0, deadline - time.monotonic())),
+                capture_output=True,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print(f"bench: TPU probe attempt {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(min(30.0, max(0.0, deadline - time.monotonic())))
+
+
 if __name__ == "__main__":
+    if not _probe_tpu():
+        print(
+            json.dumps(
+                {
+                    "metric": "track_keyframe_ms",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": "TPU backend unreachable (relay down after 15 min of probes); "
+                    "see BENCH_r02.json / NOTES_NEXT.md for the last measured numbers",
+                }
+            )
+        )
+        sys.exit(1)
     main()
