@@ -170,6 +170,36 @@ class TestShardedPromptDecode:
             )
 
 
+class TestShardedSamEncode:
+    """The SAM image encoder shards its image batch over dp (per-image work
+    independent, params replicated) — the layout _dryrun_sharded_sam_encode
+    exercises under the driver contract."""
+
+    def test_encode_matches_unsharded(self, mesh):
+        from super_primitive_tpu.nets.sam.image_encoder import (
+            VIT_TINY_TEST, ImageEncoderViT,
+        )
+
+        enc = ImageEncoderViT(VIT_TINY_TEST)
+        B = 2 * int(mesh.shape["dp"])
+        r = np.random.default_rng(3)
+        imgs = jnp.asarray(
+            r.uniform(0, 1, (B, VIT_TINY_TEST.img_size, VIT_TINY_TEST.img_size, 3))
+            .astype(np.float32)
+        )
+        params = jax.jit(enc.init)(jax.random.PRNGKey(0), imgs[:1])["params"]
+        apply = jax.jit(lambda p, x: enc.apply({"params": p}, x))
+        plain = apply(params, imgs)
+        with mesh:
+            shard = apply(
+                jax.device_put(params, replicated(mesh)),
+                jax.device_put(imgs, NamedSharding(mesh, P("dp"))),
+            )
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(shard), atol=1e-5, rtol=1e-5
+        )
+
+
 class TestShardedGNMapping:
     """The GN/LM performance path distributes the same way: points over sp,
     pointwise linearization local, reductions psum over ICI."""
