@@ -48,6 +48,13 @@ class ViTConfig:
     # heavy on the VPU; the approximation's ~1e-3 relative deviation is
     # below bf16 noise).  Off for checkpoint-validation parity.
     gelu_approx: bool = False
+    # with persistent_windows: run norm1/norm2/MLP only on the VALID tokens
+    # of the window grid (four static slices), assembling pad positions as
+    # zeros.  Pad-token compute is provably dead — pads are re-zeroed after
+    # norm1 before every attention and cropped at unpartition — and costs
+    # ~20% of the MLP FLOPs at 64x64/window-14.  Valid-token outputs are
+    # bit-identical (tests/test_nets_frontend.py).
+    skip_pad_compute: bool = False
 
 
 VIT_H = ViTConfig()
@@ -270,23 +277,69 @@ def window_unpartition(windows, window, pad_hw, hw):
     return x[:, :H, :W]
 
 
+def apply_tokenwise_valid(xw, grid, fn):
+    """Apply a tokenwise ``fn`` to the VALID tokens of a window-layout tensor,
+    writing zeros at pad positions.
+
+    ``xw`` is (B*nwh*nww, ws, ws, C); ``grid`` = (nwh, nww, rh, rw) where
+    rh/rw are the number of valid rows/cols in the last window row/column
+    (0 = fully valid).  The valid set decomposes into four static slices
+    (full windows, bottom strip, right strip, corner), so no gather/scatter
+    is needed — only slices and static updates.  ``fn`` must be tokenwise
+    (LayerNorm/Dense/MLP): each output token depends only on its own input
+    token, so slicing cannot change valid-token values.
+    """
+    nwh, nww, rh, rw = grid
+    ws = xw.shape[1]
+    B = xw.shape[0] // (nwh * nww)
+    C = xw.shape[-1]
+    x6 = xw.reshape(B, nwh, nww, ws, ws, C)
+    fh = nwh - (1 if rh else 0)  # window rows with all ws rows valid
+    fw = nww - (1 if rw else 0)
+    full = fn(x6[:, :fh, :fw])
+    out = jnp.zeros(x6.shape[:-1] + (full.shape[-1],), full.dtype)
+    out = out.at[:, :fh, :fw].set(full)
+    if rh:
+        out = out.at[:, fh:, :fw, :rh].set(fn(x6[:, fh:, :fw, :rh]))
+    if rw:
+        out = out.at[:, :fh, fw:, :, :rw].set(fn(x6[:, :fh, fw:, :, :rw]))
+    if rh and rw:
+        out = out.at[:, fh:, fw:, :rh, :rw].set(fn(x6[:, fh:, fw:, :rh, :rw]))
+    return out.reshape(xw.shape[:-1] + (out.shape[-1],))
+
+
 class Block(nn.Module):
     cfg: ViTConfig
     window_size: int  # 0 = global
     pre_windowed: bool = False  # input already in (B*nw, ws, ws, C) layout
+    grid: tuple | None = None  # (nwh, nww, rh, rw) for skip_pad_compute
 
     @nn.compact
     def __call__(self, x, pad_mask=None):
+        norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
+        skip_pad = (
+            self.pre_windowed
+            and self.cfg.skip_pad_compute
+            and self.grid is not None
+            and (self.grid[2] or self.grid[3])
+        )
         shortcut = x
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if skip_pad:
+            # norm only the valid tokens; pads assemble as the zeros the
+            # pad_mask multiply would produce
+            h = apply_tokenwise_valid(x, self.grid, norm1)
+        else:
+            h = norm1(x)
         if self.window_size > 0:
             size = (self.window_size, self.window_size)
             impl = self.cfg.windowed_attn_impl
             if self.pre_windowed:
-                # persistent window layout: re-zero the pad region so the
-                # attention sees exactly the zeros that a fresh
-                # window_partition of the normed tensor would pad with
-                h = h * pad_mask
+                if not skip_pad and pad_mask is not None:
+                    # persistent window layout: re-zero the pad region so
+                    # the attention sees exactly the zeros that a fresh
+                    # window_partition of the normed tensor would pad with
+                    # (pad_mask is None when skip_pad_compute found no pads)
+                    h = h * pad_mask
             else:
                 H, W = h.shape[1], h.shape[2]
                 h, pad_hw = window_partition(h, self.window_size)
@@ -299,11 +352,18 @@ class Block(nn.Module):
         if self.window_size > 0 and not self.pre_windowed:
             h = window_unpartition(h, self.window_size, pad_hw, (x.shape[1], x.shape[2]))
         x = shortcut + h
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = nn.Dense(int(self.cfg.embed_dim * self.cfg.mlp_ratio), name="mlp_lin1")(h)
-        h = nn.gelu(h, approximate=self.cfg.gelu_approx)
-        h = nn.Dense(self.cfg.embed_dim, name="mlp_lin2")(h)
-        return x + h
+        norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
+        lin1 = nn.Dense(int(self.cfg.embed_dim * self.cfg.mlp_ratio), name="mlp_lin1")
+        lin2 = nn.Dense(self.cfg.embed_dim, name="mlp_lin2")
+
+        def mlp(t):
+            return lin2(nn.gelu(lin1(norm2(t)), approximate=self.cfg.gelu_approx))
+
+        if skip_pad:
+            # pad-token MLP outputs only ever feed pad residuals (re-zeroed
+            # after norm1, cropped at unpartition) — skip the ~20% dead work
+            return x + apply_tokenwise_valid(x, self.grid, mlp)
+        return x + mlp(x)
 
 
 class ImageEncoderViT(nn.Module):
@@ -342,12 +402,16 @@ class ImageEncoderViT(nn.Module):
                 while j < cfg.depth and j not in cfg.global_attn_indexes:
                     j += 1
                 xw, pad_hw = window_partition(x, ws)
-                ones = jnp.ones((x.shape[0], H, W, 1), x.dtype)
-                pad_mask, _ = window_partition(ones, ws)
+                grid = (pad_hw[0] // ws, pad_hw[1] // ws, H % ws, W % ws)
+                if cfg.skip_pad_compute:
+                    pad_mask = None  # zeros assembled by apply_tokenwise_valid
+                else:
+                    ones = jnp.ones((x.shape[0], H, W, 1), x.dtype)
+                    pad_mask, _ = window_partition(ones, ws)
                 for k in range(i, j):
-                    xw = Block(cfg, ws, pre_windowed=True, name=f"block{k}")(
-                        xw, pad_mask
-                    )
+                    xw = Block(
+                        cfg, ws, pre_windowed=True, grid=grid, name=f"block{k}"
+                    )(xw, pad_mask)
                 x = window_unpartition(xw, ws, pad_hw, (H, W))
                 i = j
         # neck: conv1x1 -> LN -> conv3x3 -> LN

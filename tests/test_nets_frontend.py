@@ -129,6 +129,12 @@ class TestSamTiny:
             {"persistent_windows": True},
             {"windowed_attn_impl": "ext"},
             {"persistent_windows": True, "windowed_attn_impl": "ext"},
+            {"persistent_windows": True, "skip_pad_compute": True},
+            {
+                "persistent_windows": True,
+                "windowed_attn_impl": "ext",
+                "skip_pad_compute": True,
+            },
         ):
             cfg = dataclasses.replace(base, **opts)
             got = np.asarray(ImageEncoderViT(cfg).apply(params, x))
