@@ -160,13 +160,25 @@ class Attention(nn.Module):
     use_rel_pos: bool = True
     input_size: tuple[int, int] = (14, 14)
     impl: str = "xla"  # one of GLOBAL_ATTN_IMPLS; non-"xla" needs use_rel_pos
+    grid: tuple | None = None  # (nwh, nww, rh, rw): skip pad-token qkv/proj
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         head_dim = C // self.num_heads
         L = H * W
-        qkv = nn.Dense(3 * C, name="qkv")(x.reshape(B, L, C))
+        dense_qkv = nn.Dense(3 * C, name="qkv")
+        skip_pad = self.grid is not None and (self.grid[2] or self.grid[3])
+        if skip_pad:
+            # pad tokens are zeros here (skip_pad_compute norm1), so their
+            # QKV rows are exactly the projection bias — fill instead of
+            # projecting ~20% dead rows.  Attention still reads pad K/V
+            # (softmax denominators), so the fill must be exact.
+            bias_row = dense_qkv(jnp.zeros((1, C), x.dtype))
+            qkv = apply_tokenwise_valid(x, self.grid, dense_qkv, fill=bias_row[0])
+            qkv = qkv.reshape(B, L, 3 * C)
+        else:
+            qkv = dense_qkv(x.reshape(B, L, C))
 
         scale = head_dim**-0.5
         if self.impl == "ext_hp" and self.use_rel_pos:
@@ -254,6 +266,10 @@ class Attention(nn.Module):
             raise ValueError(f"unknown attention impl {self.impl!r}")
         out = out.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3)
         out = out.reshape(B, H, W, C)
+        if skip_pad:
+            # pad-query outputs only ever feed pad residuals (dead) —
+            # zeros instead of projecting them
+            return apply_tokenwise_valid(out, self.grid, nn.Dense(C, name="proj"))
         return nn.Dense(C, name="proj")(out)
 
 
@@ -277,9 +293,9 @@ def window_unpartition(windows, window, pad_hw, hw):
     return x[:, :H, :W]
 
 
-def apply_tokenwise_valid(xw, grid, fn):
+def apply_tokenwise_valid(xw, grid, fn, fill=None):
     """Apply a tokenwise ``fn`` to the VALID tokens of a window-layout tensor,
-    writing zeros at pad positions.
+    writing ``fill`` (default zeros) at pad positions.
 
     ``xw`` is (B*nwh*nww, ws, ws, C); ``grid`` = (nwh, nww, rh, rw) where
     rh/rw are the number of valid rows/cols in the last window row/column
@@ -287,7 +303,9 @@ def apply_tokenwise_valid(xw, grid, fn):
     (full windows, bottom strip, right strip, corner), so no gather/scatter
     is needed — only slices and static updates.  ``fn`` must be tokenwise
     (LayerNorm/Dense/MLP): each output token depends only on its own input
-    token, so slicing cannot change valid-token values.
+    token, so slicing cannot change valid-token values.  ``fill`` is what
+    ``fn`` would produce on a zero token when that matters downstream (the
+    QKV projection's bias, for pad keys/values that attention still reads).
     """
     nwh, nww, rh, rw = grid
     ws = xw.shape[1]
@@ -297,7 +315,12 @@ def apply_tokenwise_valid(xw, grid, fn):
     fh = nwh - (1 if rh else 0)  # window rows with all ws rows valid
     fw = nww - (1 if rw else 0)
     full = fn(x6[:, :fh, :fw])
-    out = jnp.zeros(x6.shape[:-1] + (full.shape[-1],), full.dtype)
+    if fill is None:
+        out = jnp.zeros(x6.shape[:-1] + (full.shape[-1],), full.dtype)
+    else:
+        out = jnp.broadcast_to(
+            fill.astype(full.dtype), x6.shape[:-1] + (full.shape[-1],)
+        )
     out = out.at[:, :fh, :fw].set(full)
     if rh:
         out = out.at[:, fh:, :fw, :rh].set(fn(x6[:, fh:, :fw, :rh]))
@@ -347,7 +370,8 @@ class Block(nn.Module):
             size = (h.shape[1], h.shape[2])
             impl = self.cfg.global_attn_impl
         h = Attention(
-            self.cfg.num_heads, input_size=size, impl=impl, name="attn"
+            self.cfg.num_heads, input_size=size, impl=impl,
+            grid=self.grid if skip_pad else None, name="attn",
         )(h)
         if self.window_size > 0 and not self.pre_windowed:
             h = window_unpartition(h, self.window_size, pad_hw, (x.shape[1], x.shape[2]))
