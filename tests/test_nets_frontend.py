@@ -97,6 +97,40 @@ class TestNNET:
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+class TestApplyTokenwiseValid:
+    """The skip-pad slicer must reproduce fn-on-everything at valid tokens
+    and write fill (default zeros) at pads, for every remainder pattern."""
+
+    @pytest.mark.parametrize("rh,rw", [(2, 0), (0, 1), (2, 1)])
+    def test_matches_dense_apply(self, rh, rw):
+        from super_primitive_tpu.nets.sam.image_encoder import (
+            apply_tokenwise_valid,
+        )
+
+        ws, nwh, nww, B, C = 3, 2, 3, 2, 5
+        r = np.random.default_rng(0)
+        xw = jnp.asarray(r.normal(size=(B * nwh * nww, ws, ws, C)).astype(np.float32))
+        fn = lambda t: 2.0 * t + 1.0  # affine: fill for a zero token is 1
+        got = apply_tokenwise_valid(xw, (nwh, nww, rh, rw), fn)
+        want = np.array(fn(xw))
+        w6 = want.reshape(B, nwh, nww, ws, ws, C)
+        if rh:
+            w6[:, nwh - 1 :, :, rh:] = 0.0
+        if rw:
+            w6[:, :, nww - 1 :, :, rw:] = 0.0
+        np.testing.assert_allclose(np.asarray(got), w6.reshape(want.shape))
+
+        filled = apply_tokenwise_valid(
+            xw, (nwh, nww, rh, rw), fn, fill=jnp.ones((C,))
+        )
+        f6 = np.array(fn(xw)).reshape(B, nwh, nww, ws, ws, C)
+        if rh:
+            f6[:, nwh - 1 :, :, rh:] = 1.0
+        if rw:
+            f6[:, :, nww - 1 :, :, rw:] = 1.0
+        np.testing.assert_allclose(np.asarray(filled), f6.reshape(want.shape))
+
+
 class TestSamTiny:
     def test_encoder_shapes(self):
         cfg = VIT_TINY_TEST
