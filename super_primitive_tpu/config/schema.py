@@ -95,6 +95,10 @@ class MappingConfig:
     solver: str = "adam"       # 'adam' (reference parity) | 'gn' (LM +
                                # Schur performance path, solve/gn_mapping.py)
     gn_max_iters: int = 30
+    # >1: GN linearizes on every k-th bundle point (gather rows / k — the
+    # latency wall of the solve); 1 = exact reference objective.  Accuracy
+    # at stride 2/4 measured in tests/test_mapping.py + docs/EVAL_SYNTHETIC.md
+    gn_point_stride: int = 1
 
 
 @dataclass

@@ -501,6 +501,7 @@ class Odometry:
                 drag_supporting=jnp.asarray(
                     0.0 if self.opt_supporting else 1.0
                 ),
+                point_stride=map_cfg.gn_point_stride,
             )
             result = mapper.MapResult(
                 params=mapper.MapParams(

@@ -255,7 +255,7 @@ def build_cmap(trg_index: jax.Array, B: int) -> jax.Array:
 def assemble(
     buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
     par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
-    tap_dtype=None,
+    tap_dtype=None, point_stride: int = 1,
 ):
     """One linearization pass of the windowed mapping system: scan over
     sources, vmap over target slots; landmark reductions via one-hot segment
@@ -294,7 +294,23 @@ def assemble(
         X = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[s])
         src_px = src_samples.pixels[s]
         vstat = src_samples.valid[s] & bundle.valid
-        nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
+        seg_id = bundle.seg_id
+        if point_stride > 1:
+            # flagged speed/accuracy knob: linearize on every k-th bundle
+            # point.  The random row-gathers are the latency wall of the
+            # whole solve (NOTES_NEXT); stride k cuts gather rows (and the
+            # one-hot reduction width) by k while each ~256-point segment
+            # keeps >=64 constraints.  Objective = the same masked mean over
+            # the retained points; default 1 = exact reference objective.
+            X = X[::point_stride]
+            src_px = src_px[::point_stride]
+            vstat = vstat[::point_stride]
+            seg_id = seg_id[::point_stride]
+            nv = jnp.maximum(
+                jnp.sum(bundle.valid[::point_stride]), 1
+            ).astype(jnp.float32)
+        else:
+            nv = jnp.maximum(bundle.num_valid, 1).astype(jnp.float32)
         cnt = jnp.maximum(trg_valid[s].sum(), 1).astype(jnp.float32)
 
         # per-source pooled tap fetch: the T_max slot images are flattened
@@ -388,7 +404,7 @@ def assemble(
 
         # landmark reduction: one-hot segment matmul on the MXU
         onehot = (
-            jnp.arange(N)[:, None] == bundle.seg_id[None, :]
+            jnp.arange(N)[:, None] == seg_id[None, :]
         ).astype(jnp.float32)                               # (N, P)
         payload = jnp.concatenate(
             [d_pt[..., None], gl_pt[..., None], b_pt], axis=-1
@@ -470,7 +486,9 @@ def solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geo_dims", "max_iters", "use_affine", "tap_dtype"),
+    static_argnames=(
+        "geo_dims", "max_iters", "use_affine", "tap_dtype", "point_stride"
+    ),
 )
 def gn_mapping(
     buffers: WindowBuffers,
@@ -486,6 +504,7 @@ def gn_mapping(
     tol: float = 1e-5,
     drag_supporting: jax.Array = np.float32(0.0),
     tap_dtype: str | None = None,  # see NEGATIVE RESULT below — keep None
+    point_stride: int = 1,         # >1: linearize on every k-th bundle point
 ) -> GNMapResult:
     # NEGATIVE RESULT (round-3 chip A/B, examples/bench_mapping.py):
     # tap_dtype="bfloat16" is 70% SLOWER (48.1 vs 28.4 ms/LM-iter) — TPU
@@ -520,6 +539,7 @@ def gn_mapping(
             buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
             par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
             tap_dtype=jnp.dtype(tap_dtype) if tap_dtype else None,
+            point_stride=point_stride,
         )
 
     def solve_at(H, g_t, D, gl, Bs, lam):

@@ -345,6 +345,37 @@ class TestGNMappingAccuracyVsAdam:
             assert e_gn <= 1.1 * e_adam, (i, e_gn, e_adam)
 
 
+class TestGNMappingPointStride:
+    @pytest.mark.parametrize("stride", [2, 4])
+    def test_strided_linearization_keeps_accuracy(self, window_setup, stride):
+        """gn_point_stride k linearizes on every k-th bundle point (gather
+        rows / k — the latency wall of the solve).  Each ~250-point segment
+        keeps >=60 constraints, so the recovered poses must stay in the same
+        error band as the exact objective.  Measured on this window: stride
+        1/2/4/8 all land within [0.7x, 2.2x] of stride-1's per-pose error
+        (noise-level reshuffling around the convergence floor)."""
+        buf, gt_poses, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        args = (
+            buf,
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+            geo_dims,
+        )
+        res1 = gn_mapping(*args, max_iters=30)
+        resk = gn_mapping(*args, max_iters=30, point_stride=stride)
+        for i in (1, 2):
+            e1 = pose_err(res1.poses[i], jnp.asarray(gt_poses[i]))
+            ek = pose_err(resk.poses[i], jnp.asarray(gt_poses[i]))
+            assert ek <= max(2.5 * e1, 5e-3), (i, stride, ek, e1)
+
+
 class TestSuppRefinementGN:
     def test_reduces_cost_and_matches_adam_quality(self, window_setup):
         buf, _, geo_dims = window_setup
