@@ -270,6 +270,28 @@ def main():
             f"(cost {float(res.initial_cost):.4f} -> {float(res.final_cost):.4f})",
             file=sys.stderr,
         )
+
+        # validated speed/accuracy knob (default off: exact reference
+        # objective); accuracy band asserted in TestGNMappingPointStride
+        def run_map_s2():
+            return gn_mapping(
+                buf, *sargs, map_dims, max_iters=30, use_affine=True, tol=0.0,
+                point_stride=2,
+            )
+
+        sync(run_map_s2().final_cost)
+        s2times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res2 = run_map_s2()
+            sync(res2.final_cost)
+            s2times.append(time.perf_counter() - t0)
+        print(
+            f"[secondary] gn_mapping[point_stride=2]: "
+            f"{1000 * min(s2times) / max(int(res2.num_iters), 1):.1f} ms/LM-iter "
+            f"(cost -> {float(res2.final_cost):.4f})",
+            file=sys.stderr,
+        )
         # supp refinement (runs every frame) + Adam-parity mapping rate
         from super_primitive_tpu.odometry.mapper import (
             run_mapping,

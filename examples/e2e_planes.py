@@ -38,6 +38,9 @@ def main():
                          "prints the ATE comparison (the GN==Adam accuracy "
                          "evidence at full-pipeline scale)")
     ap.add_argument("--gn-iters", type=int, default=30)
+    ap.add_argument("--point-stride", type=int, default=1,
+                    help="gn_point_stride for the mapping solver (speed/"
+                         "accuracy knob; 1 = exact reference objective)")
     ap.add_argument("--small", action="store_true",
                     help="96x128 debug scale instead of TUM scale")
     ap.add_argument("--cpu", action="store_true",
@@ -73,6 +76,9 @@ def main():
             {} if solver == "adam"
             else {"solver": "gn", "gn_max_iters": args.gn_iters}
         )
+        map_extra = dict(extra)
+        if solver != "adam":
+            map_extra["gn_point_stride"] = args.point_stride
         return load_config({
             "save_path": f"/tmp/sp_e2e_planes_{solver}",
             "window_size": 4,
@@ -91,7 +97,7 @@ def main():
                 "opt_supporting": True,
                 "init_frames": 3,
                 "mapping": {"supp_every_n": 3, "init_steps": 60,
-                            "steps": 40, "continual_steps": 5, **extra},
+                            "steps": 40, "continual_steps": 5, **map_extra},
                 "track": {"pyramid_min": 0, "pyramid_max": 3,
                           "steps": [0, 0, 300], **extra},
             },
