@@ -66,11 +66,17 @@ def main():
 
     def mlp_block(h):
         y = jax.nn.gelu(ln(h) @ W1, approximate=True) @ W2
-        return h + y * 0.01  # damp so bf16 stays in range over 56 steps
+        return h + y * 0.01  # damp so bf16 stays in range over 42 iterations
+        # (k2=42; full_block chains two sub-blocks -> 84 matmul pairs max)
 
     def qkv_block(h):
-        q = (ln(h) @ Wq)[..., :C]
-        return h + (q @ Wp) * 0.01
+        # Consume ALL of q, k, v so the simplifier cannot sink a slice into
+        # the weight operand and elide 2/3 of the (C, 3C) dot (advisor
+        # round-3 finding: a bare `[..., :C]` slice-of-dot lets XLA compute
+        # only a (C, C) matmul while we credit full qkv FLOPs).
+        qkv = ln(h) @ Wq
+        q, k, v = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
+        return h + ((q + 0.01 * (k + v)) @ Wp) * 0.01
 
     def full_block(h):
         return mlp_block(qkv_block(h))
@@ -103,8 +109,8 @@ def main():
     fl_mlp = 2 * M * C * HID * 2
     fl_qkv = 2 * M * C * 3 * C + 2 * M * C * C
     print("== un-elidable block chains (bf16, shipped shapes) ==", flush=True)
-    a = timed(mlp_block, "A. LN+lin1+GELU+lin2+res (the real MLP)", fl_mlp)
-    bq = timed(qkv_block, "B. LN+qkv+proj+res", fl_qkv)
+    timed(mlp_block, "A. LN+lin1+GELU+lin2+res (the real MLP)", fl_mlp)
+    timed(qkv_block, "B. LN+qkv+proj+res", fl_qkv)
     c = timed(full_block, "C. full block minus attention", fl_mlp + fl_qkv)
     print(
         f"\nC x 28 = {c * 28e3:.1f} ms vs 94.9 ms skip-ablation -> "

@@ -14,6 +14,14 @@ the roofline note in NOTES_NEXT should be corrected from 197 TF/s ideal
 to the measured achievable).  If it lands at 60%+, ~half the encoder time
 is XLA glue worth hunting.
 
+CAVEAT (measured 2026-08-18): the scalar-feedback trick below was ELIDED
+by XLA for some shapes — `proj` "measured" 2788 TF/s = 14x the chip peak,
+because the simplifier distributes dot(h + bcast(s), W) and hoists the
+loop-invariant dot out of the fori_loop.  Only the `lin1` number proved
+trustworthy (133 TF/s, 68% MFU).  Do NOT trust the lin2/qkv/proj lines
+from this script; profile_encoder10.py re-measures them with un-elidable
+full-output chains.
+
 Run alone on the chip.
 """
 
@@ -82,6 +90,12 @@ def main():
 
     print("== single-matmul MFU at ViT-H tokenwise shapes (bf16) ==", flush=True)
     probe(4900, 1280, 5120, "mlp_lin1 (4900,1280)@(1280,5120)")
+    print(
+        "  WARNING: the following probes were ELIDED by XLA when measured "
+        "(proj hit 14x chip peak) — numbers below are NOT trustworthy; "
+        "see profile_encoder10.py for the corrected methodology.",
+        flush=True,
+    )
     probe(4900, 5120, 1280, "mlp_lin2 (4900,5120)@(5120,1280)")
     probe(4900, 1280, 3840, "qkv      (4900,1280)@(1280,3840)")
     probe(4900, 1280, 1280, "proj     (4900,1280)@(1280,1280)")

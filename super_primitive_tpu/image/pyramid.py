@@ -87,6 +87,59 @@ def average_pool2(x: jax.Array) -> jax.Array:
     return 0.25 * (x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2])
 
 
+def _windows2(x: jax.Array):
+    """The four 2x2-window corners of an (H, W, ...) array (truncating odd
+    trailing rows/cols like torch's pool ops)."""
+    H2, W2 = x.shape[0] // 2, x.shape[1] // 2
+    x = x[: H2 * 2, : W2 * 2]
+    return x[0::2, 0::2], x[0::2, 1::2], x[1::2, 0::2], x[1::2, 1::2]
+
+
+def pool_depth2(x: jax.Array, mode: str) -> jax.Array:
+    """One 2x downsampling step of a depth map, all reference modes.
+
+    Reference image/gaussian_pyramid.py:8-29 (`pyr_depth`, kernel_size=2):
+      - 'bilinear'          -> 2x2 average pool
+      - 'nearest_neighbor'  -> [0::2, 0::2] subsample
+      - 'max' / 'min'       -> 2x2 max / min pool
+      - 'masked_bilinear'   -> mean over non-NaN entries per 2x2 window;
+                               all-NaN windows become 0.0 (`:20-26`)
+
+    Only 'nearest_neighbor' is constructed at reference runtime
+    (image/keyframe.py:94-100); the rest are config surface, kept for
+    parity. Input is (H, W, ...) with spatial dims first.
+    """
+    if mode == "nearest_neighbor":
+        return x[0::2, 0::2]
+    if mode == "bilinear":
+        return average_pool2(x)
+    a, b, c, d = _windows2(x)
+    if mode == "max":
+        return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    if mode == "min":
+        return jnp.minimum(jnp.minimum(a, b), jnp.minimum(c, d))
+    if mode == "masked_bilinear":
+        vs = [jnp.logical_not(jnp.isnan(w)) for w in (a, b, c, d)]
+        num = sum(jnp.where(v, w, 0.0) for v, w in zip(vs, (a, b, c, d)))
+        den = sum(v.astype(x.dtype) for v in vs)
+        return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 0.0)
+    raise ValueError(f"pool_depth2 mode {mode!r} is not implemented.")
+
+
+def depth_pyramid(
+    x: jax.Array, start_level: int, end_level: int, mode: str = "nearest_neighbor"
+) -> list[jax.Array]:
+    """Depth pyramid over levels [start, end), coarsest-first, in any of the
+    reference's pyr_depth modes (generalizes :func:`nn_downsample_pyramid`)."""
+    pyr = []
+    for i in range(end_level - 1):
+        if i >= start_level:
+            pyr.insert(0, x)
+        x = pool_depth2(x, mode)
+    pyr.insert(0, x)
+    return pyr
+
+
 def grayscale(image: jax.Array) -> jax.Array:
     """ITU-R 601 luma of an (H, W, 3) image -> (H, W, 1), matching
     torchvision's Grayscale used at image/keyframe.py:104-106."""

@@ -26,6 +26,15 @@ from test_convert import synth_nnet_state_dict
 
 REF_MODEL = "/root/reference/frontend/normals/scannet_model.py"
 
+# The oracle needs the reference checkout; skip (not fail) when it is absent
+# so the suite does not silently depend on that absolute path existing.
+import os  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_MODEL),
+    reason=f"reference torch decoder not available at {REF_MODEL}",
+)
+
 
 def _load_reference_decoder_module():
     """Import the reference model file with geffnet stubbed out (only the

@@ -123,3 +123,62 @@ class TestGrayscale:
         ours = np.asarray(grayscale(jnp.asarray(img.transpose(1, 2, 0))))[..., 0]
         ref = 0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2]
         np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestDepthPoolModes:
+    """All reference pyr_depth modes (image/gaussian_pyramid.py:8-29) vs the
+    torch formulas, kernel_size=2."""
+
+    def _torch_pyr_depth(self, depth_hw, mode):
+        d = torch.from_numpy(depth_hw)[None, None]
+        if mode == "bilinear":
+            out = torch.nn.functional.avg_pool2d(d, 2, 2)
+        elif mode == "nearest_neighbor":
+            out = d[:, :, 0::2, 0::2]
+        elif mode == "max":
+            out = torch.nn.functional.max_pool2d(d, 2)
+        elif mode == "min":
+            out = -torch.nn.functional.max_pool2d(-d, 2)
+        elif mode == "masked_bilinear":
+            mask = ~d.isnan()
+            dm = torch.zeros_like(d)
+            dm[mask] = d[mask]
+            s = torch.nn.functional.avg_pool2d(dm, 2, 2, divisor_override=1)
+            m = torch.nn.functional.avg_pool2d(mask.float(), 2, 2, divisor_override=1)
+            out = torch.where(m > 0.0, s / m, torch.tensor(0.0))
+        return out[0, 0].numpy()
+
+    def test_all_modes_match_torch(self):
+        from super_primitive_tpu.image.pyramid import pool_depth2
+
+        rng = np.random.default_rng(7)
+        depth = rng.uniform(0.1, 5.0, size=(17, 23)).astype(np.float32)
+        nan_depth = depth.copy()
+        nan_depth[rng.uniform(size=depth.shape) < 0.3] = np.nan
+        for mode in ["bilinear", "nearest_neighbor", "max", "min"]:
+            ours = np.asarray(pool_depth2(jnp.asarray(depth), mode))
+            ref = self._torch_pyr_depth(depth, mode)
+            np.testing.assert_allclose(ours, ref, atol=1e-6, err_msg=mode)
+        ours = np.asarray(pool_depth2(jnp.asarray(nan_depth), "masked_bilinear"))
+        ref = self._torch_pyr_depth(nan_depth, "masked_bilinear")
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_depth_pyramid_nn_matches_existing(self):
+        from super_primitive_tpu.image.pyramid import depth_pyramid
+
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(0.1, 5.0, size=(32, 40)).astype(np.float32)
+        a = depth_pyramid(jnp.asarray(depth), 0, 3, "nearest_neighbor")
+        b = nn_downsample_pyramid(jnp.asarray(depth), 0, 3)
+        assert len(a) == len(b) == 3
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_unknown_mode_raises(self):
+        from super_primitive_tpu.image.pyramid import pool_depth2
+
+        try:
+            pool_depth2(jnp.zeros((4, 4)), "bogus")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
