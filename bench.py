@@ -182,6 +182,24 @@ def main():
         gn_times.append(time.perf_counter() - t0)
     gn_ms = 1000 * min(gn_times)
 
+    # secondary: the round-2 20-iteration budget, kept so round-over-round
+    # track numbers stay attributable (the 30-iter default is an accuracy
+    # choice, docs/EVAL_SYNTHETIC.md — not a perf regression)
+    def solve20(R_init):
+        return gn_track(
+            bundle, src, trg_img, Kj, kp_logdepth, kp_base, R_init,
+            jnp.zeros(2), jnp.zeros(2), geo_dims, max_iters=20, use_affine=True,
+        )
+
+    run_gn20 = jax.jit(lambda: solve20(R0).final_cost)
+    sync(run_gn20())
+    gn20_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(run_gn20())
+        gn20_times.append(time.perf_counter() - t0)
+    gn20_ms = 1000 * min(gn20_times)
+
     # marginal device time: the same solve K_REP times inside one dispatch.
     # The init pose takes a numerically-negligible (1e-30) dependence on the
     # carry so XLA cannot hoist the solve out of the scan as loop-invariant.
@@ -347,13 +365,15 @@ def main():
     # rounds + NNET + BiNI + split at reference scale (960x1280, 300+100
     # pts).  Random weights — compute cost is weight-independent;
     # stability threshold 0 keeps the mask count representative.
-    frontend_ms = frontend_stage_ms = None
+    frontend_ms = frontend_stage_ms = frontend_runs = None
     if os.environ.get("SP_BENCH_SKIP_FRONTEND") != "1":
         try:
-            frontend_ms, frontend_stage_ms = bench_frontend_keyframe(jax, jnp)
+            frontend_ms, frontend_stage_ms, frontend_runs = (
+                bench_frontend_keyframe(jax, jnp)
+            )
             print(
                 f"[secondary] frontend_keyframe: {frontend_ms:.0f} ms wall "
-                f"(stages: {frontend_stage_ms})",
+                f"(median of {frontend_runs}; stages: {frontend_stage_ms})",
                 file=sys.stderr,
             )
         except Exception as e:
@@ -376,6 +396,7 @@ def main():
             "estimate of its 300-iter Adam tracking loop on an RTX 4090 "
             "(BASELINE.md) — not a measurement"
         ),
+        "track_keyframe_ms_20it": round(gn20_ms, 2),
         "mapping_solve_ms": round(mapping_ms, 1) if mapping_ms else None,
         "mapping_lm_iter_ms": round(mapping_iter_ms, 2) if mapping_iter_ms else None,
         "supp_refinement_ms": round(supp_ms, 1) if supp_ms else None,
@@ -384,6 +405,20 @@ def main():
         ),
         "frontend_keyframe_ms": round(frontend_ms, 1) if frontend_ms else None,
         "frontend_stages_ms": frontend_stage_ms,
+        "frontend_runs_ms": frontend_runs,
+        # budget pinning (VERDICT r3 #7): iteration/point budgets so
+        # cross-round numbers are comparable at a glance
+        "budgets": {
+            "gn_track_max_iters": 30,
+            "gn_track_executed_iters": gn_iters,
+            "gn_mapping_max_iters": 30,
+            "adam_track_iters": NUM_ITERS,
+            "adam_mapping_iters_measured": 20,
+            "bundle_points": 76800,
+            "window": "5 KF + 1 supp slot, 240x320 geometry",
+            "frontend": "960x1280 input, SAM 300+100 pts, integration 240x320,"
+                        " median-of-3 warm runs",
+        },
     }
     print(json.dumps(out))
 
@@ -450,20 +485,22 @@ def bench_frontend_keyframe(jax, jnp):
     K = np.array([[1000.0, 0, 640.0], [0, 1000.0, 480.0], [0, 0, 1.0]])
 
     fe.process_to_kf(image, K)  # compile/warm (fresh rng state per run below)
-    times = []
-    stages = None
-    for _ in range(2):
+    runs = []
+    for _ in range(3):
         fe.rng = np.random.default_rng(42)
         fe.timer = StageTimer()
         # new array object so set_image re-encodes (same bytes)
         img_run = image.copy()
         t0 = time.perf_counter()
         fe.process_to_kf(img_run, K)
-        times.append(time.perf_counter() - t0)
-        stages = {
-            k: round(v["mean_ms"], 1) for k, v in fe.timer.summary().items()
-        }
-    return 1000 * min(times), stages
+        wall = time.perf_counter() - t0
+        runs.append((wall, {k: round(1000 * v, 1) for k, v in fe.timer.last.items()}))
+    # median-of-3: relay RTTs straggle; median is the robust central value,
+    # and its stage breakdown is self-consistent (sums to its wall)
+    runs.sort(key=lambda r: r[0])
+    wall_med, stages_med = runs[len(runs) // 2]
+    walls = [round(1000 * w, 1) for w, _ in runs]
+    return 1000 * wall_med, stages_med, walls
 
 
 def _probe_tpu(budget_s: float = 900.0) -> bool:

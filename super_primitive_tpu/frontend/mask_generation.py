@@ -194,15 +194,44 @@ def masks_to_edges(masks: np.ndarray) -> np.ndarray:
     """Max Scharr magnitude over masks (mask_generation.py:291-303).
 
     Reflect-pad Scharr/32, matching the reference's ImageGradientModule
-    default (image_processing.py:5, reflect_padding=True)."""
+    default (image_processing.py:5, reflect_padding=True).
+
+    The binary masks are bit-packed on the host and unpacked on device —
+    8x less host->device traffic (a 300-segment keyframe at 240x320 would
+    otherwise upload ~90 MB of f32 over the relay); the unpack is exact, so
+    numerics are unchanged.
+    """
     import jax.numpy as jnp
 
-    from ..image.gradients import scharr_gradients
+    N, H, W = masks.shape
+    packed = np.packbits(masks.astype(bool), axis=-1)  # (N, H, ceil(W/8))
+    return np.asarray(_packed_masks_to_edges(jnp.asarray(packed), W))
 
-    f = jnp.asarray(masks.astype(np.float32)).transpose(1, 2, 0)
-    gx, gy = scharr_gradients(f, reflect_padding=True)
-    mag = jnp.sqrt(gx**2 + gy**2)
-    return np.asarray(jnp.max(mag, axis=-1))
+
+_PACKED_EDGES_JIT = None
+
+
+def _packed_masks_to_edges(packed, W: int):
+    global _PACKED_EDGES_JIT
+    if _PACKED_EDGES_JIT is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..image.gradients import scharr_gradients
+
+        @functools.partial(jax.jit, static_argnames=("W",))
+        def run(p, W):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (p[..., None] >> shifts) & jnp.uint8(1)  # (N, H, Wp, 8)
+            N, H = p.shape[0], p.shape[1]
+            f = bits.reshape(N, H, -1)[..., :W].astype(jnp.float32)
+            gx, gy = scharr_gradients(f.transpose(1, 2, 0), reflect_padding=True)
+            return jnp.max(jnp.sqrt(gx**2 + gy**2), axis=-1)
+
+        _PACKED_EDGES_JIT = run
+    return _PACKED_EDGES_JIT(packed, W)
 
 
 def infer_edge_probs(masks: np.ndarray):
@@ -262,17 +291,35 @@ def infer_masks(
     num_pts_active: int = 100,
     rng: np.random.Generator | None = None,
     edge_probs_shape: tuple[int, int] | None = None,
+    on_round1=None,
+    timer=None,
 ):
     """Full two-round mask generation (mask_generation.py:143-288).
 
     ``predict_fn(image, keypoints_norm) -> (logits (B, 3, H, W), iou (B, 3))``.
-    Returns dict with masks, keypoints (normalized row-col), coverage, edges.
+    Returns dict with masks, keypoints (normalized row-col), coverage, edges,
+    plus per-mask provenance (``src_round`` 0/1 and ``src_idx`` — the row in
+    that round's post-NMS selection) so callers can match results computed
+    per round (e.g. overlapped BiNI dispatches) to the surviving masks.
 
     ``edge_probs_shape``: when set, edges are computed on masks nearest-
     downsampled to this shape and bilinearly upsampled back (the reference's
     coarse-edge path, mask_generation.py:234-252, wired from
     process_frame.py:113 with the integration shape).
+
+    ``on_round1(masks)``: optional hook called with round 1's post-NMS masks
+    before round 2 starts — lets the frontend overlap per-segment device work
+    (BiNI) with the second SAM round.  Mask *contents* are final at that
+    point when ``cut_masks_by_edges`` is off (later filters only drop rows).
+
+    ``timer``: optional StageTimer; accumulates sam_round1/sam_round2/
+    sam_edges sub-stages.
     """
+    import contextlib
+
+    def _stage(name):
+        return timer.stage(name) if timer is not None else contextlib.nullcontext()
+
     rng = rng or np.random.default_rng(42)
     H, W = image.shape[:2]
     if keypoints is None:
@@ -311,35 +358,45 @@ def infer_masks(
             kps_f = kps_f[keep]
         return sel, kps_f
 
-    sel, kps_f = run_round(keypoints)
+    with _stage("sam_round1"):
+        sel, kps_f = run_round(keypoints)
     if len(sel["masks"]):
         H, W = sel["masks"].shape[-2:]  # mask working resolution
         coverage = sel["masks"].any(axis=0)
     else:
         coverage = np.zeros((H, W), bool)
+    n1 = len(sel["masks"])
+    if on_round1 is not None:
+        on_round1(sel["masks"])
 
     num_added = 0
+    sel["src_round"] = np.zeros(n1, np.int64)
+    sel["src_idx"] = np.arange(n1)
     if num_pts_active > 0:
         kps_active = active_sample_pos(coverage, num_pts_active, rng)
-        sel2, kps2_f = run_round(kps_active)
+        with _stage("sam_round2"):
+            sel2, kps2_f = run_round(kps_active)
         num_added = len(kps2_f)
         sel = {
             "masks": np.concatenate([sel["masks"], sel2["masks"]], axis=0),
             "iou_preds": np.concatenate([sel["iou_preds"], sel2["iou_preds"]]),
             "boxes": np.concatenate([sel["boxes"], sel2["boxes"]], axis=0),
+            "src_round": np.concatenate([sel["src_round"], np.ones(num_added, np.int64)]),
+            "src_idx": np.concatenate([sel["src_idx"], np.arange(num_added)]),
         }
         kps_f = np.concatenate([kps_f, kps2_f], axis=0)
 
-    if not len(sel["masks"]):
-        edges = edges_coarse = np.zeros((H, W), np.float32)
-        edge_probs = edge_probs_coarse = np.ones((H, W), np.float32)
-    elif edge_probs_shape is None:
-        edges, edge_probs = infer_edge_probs(sel["masks"])
-        edges_coarse, edge_probs_coarse = edges, edge_probs
-    else:
-        edges, edge_probs, edges_coarse, edge_probs_coarse = (
-            infer_edge_probs_coarse(sel["masks"], tuple(edge_probs_shape))
-        )
+    with _stage("sam_edges"):
+        if not len(sel["masks"]):
+            edges = edges_coarse = np.zeros((H, W), np.float32)
+            edge_probs = edge_probs_coarse = np.ones((H, W), np.float32)
+        elif edge_probs_shape is None:
+            edges, edge_probs = infer_edge_probs(sel["masks"])
+            edges_coarse, edge_probs_coarse = edges, edge_probs
+        else:
+            edges, edge_probs, edges_coarse, edge_probs_coarse = (
+                infer_edge_probs_coarse(sel["masks"], tuple(edge_probs_shape))
+            )
 
     if sam_params.cut_masks_by_edges and len(sel["masks"]):
         valid = edge_probs > sam_params.edge_probs_threshold
@@ -359,6 +416,8 @@ def infer_masks(
         "masks": sel["masks"],
         "iou_preds": sel["iou_preds"],
         "keypoints": kps_f,
+        "src_round": sel["src_round"],
+        "src_idx": sel["src_idx"],
         "num_active": num_added,
         "coarse_coverage": coverage,
         "final_coverage": final_coverage,

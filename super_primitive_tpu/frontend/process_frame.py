@@ -47,6 +47,18 @@ def _nn_resize(x: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     ).astype(x.dtype)
 
 
+def _pad_bucket(m: np.ndarray, bucket: int):
+    """Pad a leading segment axis up to the next multiple of ``bucket`` so
+    the jitted BiNI solvers compile once per bucket, not per keyframe."""
+    n = m.shape[0]
+    cap = max(bucket, int(np.ceil(n / bucket) * bucket))
+    if cap == n:
+        return m, n
+    out = np.zeros((cap,) + m.shape[1:], m.dtype)
+    out[:n] = m
+    return out, n
+
+
 def scale_K(K: np.ndarray, scale_h: float, scale_w: float) -> np.ndarray:
     """Anisotropic K rescale (tool/camera.py:12-22)."""
     K = np.asarray(K, np.float64).copy()
@@ -107,6 +119,29 @@ class FrontProcessor:
             sam_params = dataclasses.replace(
                 sam_params, nms=False, select_smallest=False
             )
+
+        # BiNI overlap: when mask CONTENTS are final after each round (all
+        # later steps only drop rows — cut_masks_by_edges would edit them)
+        # and the device normals already sit at the integration shape,
+        # round 1's integration is dispatched while SAM round 2 runs, hiding
+        # its dispatch+device latency behind the second decode round.
+        bini_cfg = BiniConfig(cg_max_iter=fc.cg_max_iter, cg_tol=fc.cg_tol)
+        normals_at_geo = (
+            hasattr(normals_dev, "shape") and tuple(normals_dev.shape[:2]) == (Hg, Wg)
+        )
+        overlap = (not sam_params.cut_masks_by_edges) and normals_at_geo
+        K_j = jnp.asarray(K_geom, jnp.float32)
+        r1_handle = []
+
+        def on_round1(masks_r1):
+            if masks_r1.shape[0] == 0:
+                r1_handle.append(None)
+                return
+            mc = _nn_resize(masks_r1, (Hg, Wg)).astype(bool)
+            r1_handle.append(
+                self._dispatch_integration(normals_dev, mc, K_j, bini_cfg)
+            )
+
         with self._stage("sam_masks"):
             gen = infer_masks(
                 self.mask_predict_fn, sam_img, sam_params,
@@ -116,28 +151,47 @@ class FrontProcessor:
                 # coarse-edge path at the integration shape
                 # (reference process_frame.py:113 passes int_normal_shape)
                 edge_probs_shape=(Hg, Wg),
+                on_round1=on_round1 if overlap else None,
+                timer=self.timer,
             )
         masks = gen["masks"]
         if masks.shape[0] == 0:
             raise RuntimeError("frontend produced no masks")
-        masks_coarse = _nn_resize(masks, (Hg, Wg)).astype(bool)
-
-        # normals fetch (overlapped with the SAM rounds above) + NN resize
-        with self._stage("normals_fetch"):
-            normals = np.asarray(normals_dev)
-        if normals.shape[:2] != (Hg, Wg):
-            normals = _nn_resize(normals, (Hg, Wg))
 
         # 3. BiNI integration per segment at geometry resolution.
         # Crop/full routing: most segments fit a small window (crop-based
         # solve is exact and ~(HW/crop^2)x cheaper); oversized ones take the
         # full-field path.  Segment counts are bucket-padded so the jitted
         # solvers compile once per bucket, not per keyframe.
-        bini_cfg = BiniConfig(cg_max_iter=fc.cg_max_iter, cg_tol=fc.cg_tol)
-        with self._stage("bini"):
-            depth_perseg = self._integrate_routed(
-                normals, masks_coarse, K_geom, bini_cfg
-            )
+        if overlap:
+            with self._stage("bini"):
+                # round-2 survivors dispatched now; round 1 already in flight
+                is_r2 = gen["src_round"] == 1
+                depth_perseg = np.zeros((masks.shape[0], Hg, Wg), np.float32)
+                h2 = None
+                if is_r2.any():
+                    mc2 = _nn_resize(masks[is_r2], (Hg, Wg)).astype(bool)
+                    h2 = self._dispatch_integration(normals_dev, mc2, K_j, bini_cfg)
+                if r1_handle and r1_handle[0] is not None:
+                    d1 = self._fetch_integration(r1_handle[0])
+                    is_r1 = gen["src_round"] == 0
+                    depth_perseg[is_r1] = d1[gen["src_idx"][is_r1]]
+                if h2 is not None:
+                    depth_perseg[is_r2] = self._fetch_integration(h2)
+            with self._stage("normals_fetch"):
+                normals = np.asarray(normals_dev)
+        else:
+            masks_coarse = _nn_resize(masks, (Hg, Wg)).astype(bool)
+            # normals fetch (overlapped with the SAM rounds above) + NN resize
+            with self._stage("normals_fetch"):
+                normals = np.asarray(normals_dev)
+            if normals.shape[:2] != (Hg, Wg):
+                normals = _nn_resize(normals, (Hg, Wg))
+            with self._stage("bini"):
+                h = self._dispatch_integration(
+                    jnp.asarray(normals), masks_coarse, K_j, bini_cfg
+                )
+                depth_perseg = self._fetch_integration(h)
 
         # 4. downsample image to KF size; depth NN-resized; log in-mask
         s = 2 ** fc.downsample_pow
@@ -185,45 +239,60 @@ class FrontProcessor:
             "edges": gen["edges"],
         }
 
-    def _integrate_routed(
-        self, normals, masks, K_geom, bini_cfg, crop: int = 128
-    ) -> np.ndarray:
-        """Host-side crop/full routing + bucket padding for BiNI."""
+    def _dispatch_integration(
+        self, normals_dev, masks, K_j, bini_cfg, crop: int = 128
+    ) -> dict:
+        """Host-side crop/full routing + bucket padding for BiNI; enqueues
+        the device work and returns a handle — results cross the relay only
+        at :meth:`_fetch_integration` (crop-sized, ~(HW/crop^2)x fewer bytes
+        than full fields)."""
         from ..integrate.bini import (
             integrate_normals,
             integrate_normals_cropped,
             segment_bbox_sizes,
         )
 
-        def pad_bucket(m, bucket):
-            n = m.shape[0]
-            cap = max(bucket, int(np.ceil(n / bucket) * bucket))
-            if cap == n:
-                return m, n
-            out = np.zeros((cap,) + m.shape[1:], m.dtype)
-            out[:n] = m
-            return out, n
-
-        N = masks.shape[0]
         hs, ws = segment_bbox_sizes(masks)
         fits = (hs <= crop) & (ws <= crop)
-        normals_j = jnp.asarray(normals)
-        K_j = jnp.asarray(K_geom, jnp.float32)
-        depth = np.zeros(masks.shape, np.float32)
+        handle = {"masks": masks, "fits": fits, "crop": crop}
 
         if fits.any():
-            m_small, n_small = pad_bucket(masks[fits], 32)
-            zt = np.asarray(
-                integrate_normals_cropped(
-                    normals_j, jnp.asarray(m_small), K_j, bini_cfg, crop
-                )
-            )[:n_small]
-            depth[fits] = np.exp(zt) * masks[fits]
+            m_small, n_small = _pad_bucket(masks[fits], 32)
+            handle["crop_out"] = integrate_normals_cropped(
+                normals_dev, jnp.asarray(m_small), K_j, bini_cfg, crop,
+                return_crops=True,
+            )
+            handle["n_small"] = n_small
         if (~fits).any():
-            m_big, n_big = pad_bucket(masks[~fits], 8)
-            zt = np.asarray(
-                integrate_normals(normals_j, jnp.asarray(m_big), K_j, bini_cfg)
-            )[:n_big]
+            m_big, n_big = _pad_bucket(masks[~fits], 8)
+            handle["full_out"] = integrate_normals(
+                normals_dev, jnp.asarray(m_big), K_j, bini_cfg
+            )
+            handle["n_big"] = n_big
+        return handle
+
+    def _fetch_integration(self, handle: dict) -> np.ndarray:
+        """Materialize a :meth:`_dispatch_integration` handle into per-segment
+        depth fields (N, H, W): exp of the log-depth inside the mask, zero
+        outside (process_frame.py:231-236 semantics)."""
+        masks = handle["masks"]
+        fits = handle["fits"]
+        N, H, W = masks.shape
+        depth = np.zeros((N, H, W), np.float32)
+
+        if "crop_out" in handle:
+            zt_c, r0, c0 = handle["crop_out"]
+            n = handle["n_small"]
+            zt_c = np.asarray(zt_c)[:n]
+            r0 = np.asarray(r0)[:n]
+            c0 = np.asarray(c0)[:n]
+            ch, cw = zt_c.shape[1:]
+            for j, i in enumerate(np.nonzero(fits)[0]):
+                rr, cc = int(r0[j]), int(c0[j])
+                win = masks[i, rr : rr + ch, cc : cc + cw]
+                depth[i, rr : rr + ch, cc : cc + cw] = np.exp(zt_c[j]) * win
+        if "full_out" in handle:
+            zt = np.asarray(handle["full_out"])[: handle["n_big"]]
             depth[~fits] = np.exp(zt) * masks[~fits]
         return depth
 

@@ -318,13 +318,14 @@ def _coefficients_window(normals_crop, K, r0, c0):
     return D, nx / fx, ny / fy
 
 
-@functools.partial(jax.jit, static_argnames=("config", "crop"))
+@functools.partial(jax.jit, static_argnames=("config", "crop", "return_crops"))
 def integrate_normals_cropped(
     normals: jax.Array,
     masks: jax.Array,
     K: jax.Array,
     config: BiniConfig = BiniConfig(),
     crop: int = 128,
+    return_crops: bool = False,
 ) -> jax.Array:
     """Crop-based integration: each segment solves on a crop x crop window
     around its bounding box instead of the full field (SURVEY §7.1: segments
@@ -335,7 +336,11 @@ def integrate_normals_cropped(
     are silently truncated — callers route those to :func:`integrate_normals`
     (see :func:`integrate_to_depth`'s auto dispatch in the frontend).
 
-    Returns (N, H, W) log-depth fields scattered back to full resolution.
+    Returns (N, H, W) log-depth fields scattered back to full resolution,
+    or — with ``return_crops`` — the tuple ``(zt_crops (N, ch, cw), r0 (N,),
+    c0 (N,))`` so the caller can scatter on the host; the crop form ships
+    ~(H*W / crop^2)x fewer bytes over the host<->device link (the axon relay
+    makes that a first-order cost for a 300-segment keyframe).
     """
     masks = masks.astype(bool)
     N, H, W = masks.shape
@@ -365,6 +370,9 @@ def integrate_normals_cropped(
     )(crops_n, r0.astype(normals.dtype), c0.astype(normals.dtype))
 
     zt_crops = _solve_given_coeffs(D, c_u, c_v, crops_m, config)
+    if return_crops:
+        # _solve_given_coeffs already zeroes outside the mask
+        return zt_crops, r0, c0
 
     out = jax.vmap(
         lambda z, r, c: jax.lax.dynamic_update_slice(

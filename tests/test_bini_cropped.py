@@ -66,8 +66,8 @@ class TestCroppedBini:
             assert np.abs(diff).max() < 0.05, (i, np.abs(diff).max())
 
     def test_frontend_routing(self):
-        """FrontProcessor._integrate_routed: small go cropped, big go full,
-        outputs cover all segments."""
+        """FrontProcessor dispatch/fetch integration: small go cropped, big
+        go full, outputs cover all segments."""
         from super_primitive_tpu.config import load_config
         from super_primitive_tpu.frontend.process_frame import FrontProcessor
 
@@ -75,9 +75,36 @@ class TestCroppedBini:
         cfg = load_config({})
         fp = FrontProcessor(cfg, None, None)
         bini_cfg = BiniConfig(cg_tol=1e-5, cg_max_iter=1000)
-        out = fp._integrate_routed(normals, masks, np.asarray(K), bini_cfg, crop=32)
+        h = fp._dispatch_integration(
+            jnp.asarray(normals), masks, jnp.asarray(np.asarray(K), jnp.float32),
+            bini_cfg, crop=32,
+        )
+        out = fp._fetch_integration(h)
         assert out.shape == masks.shape
         for i in range(4):
             vals = out[i][masks[i]]
             assert np.all(vals > 0), i      # depth, not logdepth
             assert np.all(out[i][~masks[i]] == 0)
+
+    def test_crop_fetch_matches_full_scatter(self):
+        """return_crops host scatter == the device full-field scatter path."""
+        K, normals, masks, depth = make_case()
+        cfg = BiniConfig(cg_tol=1e-5, cg_max_iter=500)
+        small = masks[:3]
+        full = np.asarray(
+            integrate_normals_cropped(
+                jnp.asarray(normals), jnp.asarray(small), K, cfg, crop=48
+            )
+        )
+        zt_c, r0, c0 = integrate_normals_cropped(
+            jnp.asarray(normals), jnp.asarray(small), K, cfg, crop=48,
+            return_crops=True,
+        )
+        zt_c, r0, c0 = np.asarray(zt_c), np.asarray(r0), np.asarray(c0)
+        H, W = small.shape[1:]
+        recon = np.zeros((3, H, W), np.float32)
+        ch, cw = zt_c.shape[1:]
+        for j in range(3):
+            recon[j, r0[j] : r0[j] + ch, c0[j] : c0[j] + cw] = zt_c[j]
+        recon *= small
+        np.testing.assert_allclose(recon, full, atol=1e-6)
