@@ -316,3 +316,85 @@ class TestShardedGNMapping:
         assert "all-reduce" in hlo or "reduce-scatter" in hlo, (
             "no collectives in compiled HLO — inputs not actually sharded?"
         )
+
+
+class TestShardedBini:
+    """BiNI with the segment axis sharded over sp == the unsharded solve
+    (the CG while_loop's convergence test contracts over segments -> psum)."""
+
+    def _case(self):
+        H, Wd, N = 24, 32, 8
+        r = np.random.default_rng(5)
+        K = jnp.asarray(
+            [[1.2 * Wd, 0, Wd / 2], [0, 1.2 * Wd, H / 2], [0, 0, 1.0]],
+            jnp.float32,
+        )
+        n = r.normal(size=(H, Wd, 3)).astype(np.float32)
+        n[..., 2] = -np.abs(n[..., 2]) - 1.0
+        normals = jnp.asarray(n / np.linalg.norm(n, axis=-1, keepdims=True))
+        masks = np.zeros((N, H, Wd), bool)
+        for i in range(N):
+            r0, c0 = 2 + (i % 3) * 4, 2 + (i % 4) * 6
+            masks[i, r0 : r0 + 8, c0 : c0 + 8] = True
+        return normals, masks, K
+
+    def test_matches_unsharded(self, mesh):
+        from super_primitive_tpu.integrate.bini import BiniConfig, integrate_normals
+
+        normals, masks, K = self._case()
+        cfg = BiniConfig(cg_max_iter=40, cg_tol=1e-5)
+        ref = np.asarray(integrate_normals(normals, jnp.asarray(masks), K, cfg))
+        with mesh:
+            masks_d = jax.device_put(
+                jnp.asarray(masks), NamedSharding(mesh, P("sp"))
+            )
+            normals_d = jax.device_put(normals, replicated(mesh))
+            out = np.asarray(integrate_normals(normals_d, masks_d, K, cfg))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_cropped_matches_unsharded(self, mesh):
+        from super_primitive_tpu.integrate.bini import (
+            BiniConfig,
+            integrate_normals_cropped,
+        )
+
+        normals, masks, K = self._case()
+        cfg = BiniConfig(cg_max_iter=40, cg_tol=1e-5)
+        ref = np.asarray(
+            integrate_normals_cropped(normals, jnp.asarray(masks), K, cfg, crop=16)
+        )
+        with mesh:
+            masks_d = jax.device_put(
+                jnp.asarray(masks), NamedSharding(mesh, P("sp"))
+            )
+            normals_d = jax.device_put(normals, replicated(mesh))
+            out = np.asarray(
+                integrate_normals_cropped(normals_d, masks_d, K, cfg, crop=16)
+            )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestShardedCC:
+    def test_matches_scipy(self, mesh):
+        from scipy import ndimage
+
+        from super_primitive_tpu.ops.connected_components import label_components
+
+        r = np.random.default_rng(9)
+        masks = r.uniform(size=(8, 24, 32)) < 0.4
+        with mesh:
+            masks_d = jax.device_put(
+                jnp.asarray(masks), NamedSharding(mesh, P("sp"))
+            )
+            labels = np.asarray(label_components(masks_d))
+        structure = np.asarray([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        for i in range(8):
+            ref, n_ref = ndimage.label(masks[i], structure=structure)
+            # same partition: component count and co-membership agree
+            # (labels are root linear indices: background -1, foreground >= 0)
+            got = labels[i]
+            assert (got >= 0).sum() == (ref > 0).sum()
+            assert len(np.unique(got[got >= 0])) == n_ref
+            for lbl in np.unique(ref[ref > 0]):
+                vals = np.unique(got[ref == lbl])
+                assert len(vals) == 1, (i, lbl, vals)
