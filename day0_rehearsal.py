@@ -132,10 +132,62 @@ def drive_converted_nets(sam_npz: str, nnet_npz: str) -> None:
     print("NNET npz -> predict_normals OK")
 
 
+def build_void_tree(root: str) -> str:
+    """VOID-layout fixture (evaluate_void.py:87-116 semantics): test_image.txt
+    + image/sparse_depth/validity_map/ground_truth dirs + K.txt."""
+    import cv2
+
+    void_root = os.path.join(root, "datasets", "void_release")
+    seq = os.path.join(void_root, "void_150", "data", "seq0")
+    for sub in ("image", "sparse_depth", "validity_map", "ground_truth"):
+        os.makedirs(os.path.join(seq, sub), exist_ok=True)
+    H, W, n_sparse = 48, 64, 40
+    r = np.random.default_rng(0)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    entries = []
+    for i in range(2):
+        gt = (1.5 + 0.3 * np.sin(u * 0.1 + i) + 0.2 * np.cos(v * 0.13)).astype(
+            np.float32
+        )
+        sparse = np.zeros((H, W), np.float32)
+        idx = r.choice(H * W, n_sparse, replace=False)
+        sparse.reshape(-1)[idx] = gt.reshape(-1)[idx]
+        img = (np.clip(gt / 3.0, 0, 1)[..., None] * [255, 200, 150]).astype(np.uint8)
+        name = f"{i:04d}.png"
+        cv2.imwrite(os.path.join(seq, "image", name), img)
+        cv2.imwrite(
+            os.path.join(seq, "sparse_depth", name),
+            np.round(sparse * 256).astype(np.uint16),
+        )
+        cv2.imwrite(
+            os.path.join(seq, "validity_map", name),
+            (sparse > 0).astype(np.uint16),
+        )
+        cv2.imwrite(
+            os.path.join(seq, "ground_truth", name),
+            np.round(gt * 256).astype(np.uint16),
+        )
+        entries.append(f"void_150/data/seq0/image/{name}")
+    np.savetxt(
+        os.path.join(seq, "K.txt"),
+        np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1.0]]),
+    )
+    with open(os.path.join(void_root, "test_image.txt"), "w") as f:
+        f.write("\n".join(entries))
+    return void_root
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=None, help="fixture root (default tmp)")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--full-size", action="store_true",
+        help="build the REAL ViT-H-sized synthetic sam_vit_h_4b8939.pth "
+        "(~2.4 GB, published key names) and convert+validate it at full "
+        "size — the exact command download.sh's real checkpoint will take "
+        "(VERDICT r3 #4).  Adds ~2.4 GB of disk and minutes of CPU forward.",
+    )
     args = ap.parse_args()
 
     # plumbing rehearsal: CPU everywhere (run_sfm gets --cpu below; the
@@ -151,14 +203,48 @@ def main():
     sam_npz = os.path.join(root, "models", "sam_vit_h.npz")
     nnet_npz = os.path.join(root, "models", "nnet_scannet.npz")
 
-    # 1. the download.sh conversion command (tiny SAM config; the real run
-    #    just omits --sam-cfg)
+    # 1. the download.sh conversion command (tiny SAM config; --full-size
+    #    instead rehearses the REAL ViT-H sizes/names below)
     sh([
         sys.executable, "convert_checkpoints.py",
         "--sam", fx["sam_pth"], "--out-sam", sam_npz,
         "--nnet", fx["nnet_pth"], "--out-nnet", nnet_npz,
         "--validate", "--sam-cfg", "tiny", "--cpu",
     ])
+
+    if args.full_size:
+        import torch
+
+        from super_primitive_tpu.nets.sam.image_encoder import VIT_H
+        from super_primitive_tpu.nets.synth import synth_sam_state_dict
+
+        sam_full_pth = os.path.join(root, "models", "sam_vit_h_4b8939_full.pth")
+        print("building full-size ViT-H synthetic .pth (published names)...",
+              flush=True)
+        torch.save(synth_sam_state_dict(VIT_H), sam_full_pth)
+        size_gb = os.path.getsize(sam_full_pth) / 1e9
+        print(f"  wrote {sam_full_pth} ({size_gb:.2f} GB)", flush=True)
+        sam_full_npz = os.path.join(root, "models", "sam_vit_h_full.npz")
+        # the EXACT real-checkpoint command: default --sam-cfg vit_h
+        sh([
+            sys.executable, "convert_checkpoints.py",
+            "--sam", sam_full_pth, "--out-sam", sam_full_npz,
+            "--validate", "--cpu",
+        ])
+        print(f"full-size convert+validate OK ({size_gb:.2f} GB state dict)")
+
+    # VOID leg: the depth-completion workload over a VOID-layout tree
+    void_root = build_void_tree(root)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc_v = sh(
+        [sys.executable, "evaluate_void.py", "--dataset", void_root,
+         "--stub-frontend", "--max-images", "2"],
+        capture_output=True, text=True, env=env,
+    )
+    assert "=== filled over 2 samples ===" in proc_v.stdout, proc_v.stdout[-2000:]
+    assert "=== valid-only over 2 samples ===" in proc_v.stdout
+    print("VOID leg OK (both metric tables produced)")
 
     # 2. converted trees through the real inference stack
     drive_converted_nets(sam_npz, nnet_npz)
