@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the container sitecustomize "
                          "pins the axon TPU; env vars alone don't switch)")
+    ap.add_argument("--restore-split", type=int, default=0,
+                    help="N > 0: run to frame N, save_state, resume a FRESH "
+                         "Odometry from the checkpoint and finish the "
+                         "sequence — asserts trajectory continuity across "
+                         "the restore (odometery.py:1018-1162 semantics)")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +116,30 @@ def main():
         fe = StructuredFakeFrontend(cfg, seed=0, n_cells=n_cells)
         odom = Odometry(cfg, fe, ds)
         t0 = time.perf_counter()
-        traj = odom.run()
+        if args.restore_split > 0:
+            split = args.restore_split
+            assert 3 < split < args.frames, "--restore-split inside sequence"
+            odom.run(max_frames=split)
+            tag_id = split - 1  # last processed frame
+            odom.save_state(tag=odom.id_to_timestamp(tag_id))
+            n_pre = len(odom.global_track_trajectory)
+            # resume a FRESH process-equivalent: new Odometry, new frontend
+            # state, window reloaded from the npz checkpoint
+            import dataclasses as _dc
+
+            from super_primitive_tpu.config.schema import RestoreConfig
+
+            cfg2 = _dc.replace(
+                cfg, restore=RestoreConfig(path=cfg.save_path, frame_id=tag_id)
+            )
+            fe2 = StructuredFakeFrontend(cfg2, seed=0, n_cells=n_cells)
+            odom = Odometry(cfg2, fe2, ds)
+            traj = odom.run()
+            print(f"[e2e:{solver}] restore split at frame {split}: "
+                  f"{n_pre} pre-restore tracked frames reloaded, "
+                  f"{len(odom.global_track_trajectory) - n_pre} tracked after")
+        else:
+            traj = odom.run()
         wall = time.perf_counter() - t0
 
         est = {ts: np.asarray(T) for ts, T in odom.global_track_trajectory.items()}
