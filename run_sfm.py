@@ -105,7 +105,7 @@ def make_odometry_live_cb(live_dir):
     return cb
 
 
-def run_two_frame(config, frontend, dataset, live_dir=None):
+def run_two_frame(config, frontend, dataset, live_dir=None, live_every=50):
     import jax.numpy as jnp
 
     from super_primitive_tpu.keyframe import (
@@ -176,7 +176,7 @@ def run_two_frame(config, frontend, dataset, live_dir=None):
             )
             lv.checkpoint()  # pause protocol (two_frame_sfm.py:185-198)
 
-        snapshot_every = 50
+        snapshot_every = max(1, live_every)
 
     if config.alignment.mapping.solver == "gn":
         # LM + Schur performance path (solve/gn_mapping.py), selected the
@@ -296,6 +296,12 @@ def main():
                          "live.json) to DIR; pair with `python -m "
                          "super_primitive_tpu.viz.serve DIR` for a live "
                          "browser view with pause/resume")
+    ap.add_argument("--live-every", type=int, default=50,
+                    help="two-frame Adam solve: publish a live snapshot "
+                         "every N optimizer iterations (1 = the reference's "
+                         "per-iteration cadence, two_frame_sfm.py:178-183; "
+                         "each snapshot costs a host round-trip, which is "
+                         "why the default batches 50)")
     args = ap.parse_args()
 
     seed_everything()
@@ -323,7 +329,8 @@ def main():
         run_odometry(config, frontend, dataset, args.max_frames,
                      live_dir=args.live_viz)
     else:
-        run_two_frame(config, frontend, dataset, live_dir=args.live_viz)
+        run_two_frame(config, frontend, dataset, live_dir=args.live_viz,
+                      live_every=args.live_every)
 
 
 if __name__ == "__main__":
