@@ -129,7 +129,11 @@ class FrontProcessor:
         normals_at_geo = (
             hasattr(normals_dev, "shape") and tuple(normals_dev.shape[:2]) == (Hg, Wg)
         )
-        overlap = (not sam_params.cut_masks_by_edges) and normals_at_geo
+        overlap = (
+            (not sam_params.cut_masks_by_edges)
+            and normals_at_geo
+            and not getattr(self, "disable_overlap", False)  # test hook
+        )
         K_j = jnp.asarray(K_geom, jnp.float32)
         r1_handle = []
 

@@ -344,3 +344,45 @@ class TestFrontProcessor:
         out = fp.process_to_supp_kf(img, K)
         assert out["image"].shape == (24, 32, 3)
         np.testing.assert_allclose(out["K"][0, 0], 0.25, atol=1e-9)
+
+    def test_overlap_path_matches_legacy(self):
+        """BiNI-overlap dispatch path (round-1 integration during SAM round
+        2) produces EXACTLY the legacy single-dispatch keyframe — contents
+        are per-segment; only the scheduling differs."""
+        cfg = load_config({
+            "frontend": {
+                "downsample_pow": 1,
+                "normals": {"integration_shape": [48, 64],
+                            "network_dim": [96, 128]},
+                "cg_max_iter": 200, "cg_tol": 1e-4,
+                "check_for_depth_disc": False,
+            },
+            "sam_params": {"infer_resolution": [96, 128]},
+        })
+
+        def normals_fn(img01):
+            # at the INTEGRATION shape, like the real predict_normals with
+            # coarse_hw set — enables the overlap path
+            n = np.zeros((48, 64, 3), np.float32)
+            n[..., 2] = -1.0
+            n[..., 0] = 0.05
+            n /= np.linalg.norm(n, axis=-1, keepdims=True)
+            return jnp.asarray(n), np.ones((48, 64, 1), np.float32)
+
+        image = (np.random.default_rng(0).uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+        K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1.0]])
+
+        kfs = []
+        for disable in (False, True):
+            fp = FrontProcessor(cfg, normals_fn, fake_predict_fn,
+                                rng=np.random.default_rng(7))
+            fp.disable_overlap = disable
+            kfs.append(fp.process_to_kf(image, K))
+        a, b = kfs
+        assert a["regions"].shape == b["regions"].shape
+        np.testing.assert_array_equal(a["regions"], b["regions"])
+        np.testing.assert_array_equal(a["keypoints_rc"], b["keypoints_rc"])
+        np.testing.assert_allclose(
+            a["logdepth_perseg"], b["logdepth_perseg"], atol=1e-6
+        )
+        np.testing.assert_allclose(a["image"], b["image"], atol=0)
