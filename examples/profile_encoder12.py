@@ -103,3 +103,13 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# NEGATIVE RESULT (2026-08-18): the k-differenced chains above never
+# finished compiling through the relay (killed after 45 min on the single
+# encode1 graph) — same failure mode as profile_encoder8's stacked-weight
+# scan.  Full-ViT-H-sized graphs wrapped in NEW jit entry points recompile
+# from scratch and the relay compiler cannot be budgeted for them.  The
+# actionable encoder ledger therefore comes from profile_encoder11 (real
+# Block in isolation: windowed 1.896 ms, global 3.493 ms, block budget
+# 67.1 ms) + the shipped predictor's cached-program wall.
