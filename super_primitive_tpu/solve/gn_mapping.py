@@ -71,6 +71,97 @@ def adjoint(T: jax.Array) -> jax.Array:
 _PROJ_EPS = 1e-6  # matches projection.project's z guard
 
 
+def linearize_warp_factors(
+    X: jax.Array,            # (P, 3) source-frame points
+    src_px: jax.Array,       # (P, C>=3) source samples
+    valid_static: jax.Array, # (P,) bool — src sample & bundle validity
+    rel: jax.Array,          # (4, 4) T_target_from_source
+    K: jax.Array,            # (3, 3)
+    trg_img: jax.Array,      # (H, W, C)
+    geo_dims: tuple[int, int],
+    aff_s: jax.Array,        # (2,)
+    aff_t: jax.Array,        # (2,)
+    use_affine: bool,
+    z_valid: float = ph.Z_VALID_BATCH,
+    packed: bool = False,
+    taps: tuple | None = None,
+    taps_hw: tuple[int, int] | None = None,
+):
+    """Rank-2 FACTORS of the photometric-warp Jacobian (the TPU-friendly
+    form consumed by :func:`assemble`).
+
+    The 7 geometry columns of J factor exactly through the 2-dim image
+    coordinate:  J7[p, c, i] = -sum_k dIs[p, c, k] * F[p, k, i]  with
+    ``F = d coords / d [pose(6), logdepth(1)]`` channel-independent and
+    ``dIs`` the (affine-scaled) sampled image gradient.  Building the normal
+    equations from (F, dIs) instead of a materialized (P, 3, 11) J removes
+    ~25 MB of HBM traffic per (source, slot) pair — the reductions were
+    traffic-bound, not FLOP-bound (examples/profile_mapping_ablate.py).
+
+    Returns (r0 (P, 3), valid (P,) float, dIs (P, 3, 2), F (P, 2, 7),
+    raw3 (P, 3) the unscaled sampled pixels, ea () the affine exp factor).
+    """
+    Hg, Wg = geo_dims
+    R = rel[:3, :3]
+    t = rel[:3, 3]
+    p = projection.transform(X, rel)                       # (P, 3)
+    if taps is not None:
+        tap_rows, t_wx, t_wy, in_bound = taps
+        px_raw, dI_dc = bilinear_grad_from_taps(
+            tap_rows, t_wx, t_wy, taps_hw if taps_hw is not None else geo_dims
+        )
+        trg_ok = in_bound
+    else:
+        uv = projection.project(p, K)                      # (P, 2)
+        coords = ph.normalized_image_coords(uv, geo_dims)
+        if packed:
+            px_raw, dI_dc, trg_ok = bilinear_sample_grad_packed(trg_img, coords)
+        else:
+            px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
+    trg_ok = trg_ok & (p[..., 2] > z_valid)
+    valid = (valid_static & trg_ok).astype(px_raw.dtype)
+
+    fx, fy = K[0, 0], K[1, 1]
+    z = p[..., 2]
+    ok_z = jnp.abs(z) > _PROJ_EPS
+    z_inv = jnp.where(ok_z, 1.0 / jnp.where(ok_z, z, 1.0), _PROJ_EPS)
+    dzinv = jnp.where(ok_z, -z_inv * z_inv, 0.0)
+    zero = jnp.zeros_like(z)
+    du_dp = jnp.stack(
+        [
+            jnp.stack([fx * z_inv, zero, fx * p[..., 0] * dzinv], axis=-1),
+            jnp.stack([zero, fy * z_inv, fy * p[..., 1] * dzinv], axis=-1),
+        ],
+        axis=-2,
+    )  # (P, 2, 3)
+
+    dp_dw = -jnp.sum(
+        R[None, :, :, None] * so3.hat(X)[:, None, :, :], axis=2
+    )  # (P, 3, 3)
+    dp_dv = jnp.broadcast_to(R, X.shape[:1] + (3, 3))
+    dp_dl = (p - t)[..., None]                             # (P, 3, 1) = R X
+    M7 = jnp.concatenate([dp_dw, dp_dv, dp_dl], axis=-1)   # (P, 3, 7)
+
+    duv_d7 = jnp.sum(
+        du_dp[:, :, :, None] * M7[:, None, :, :], axis=2
+    )  # (P, 2, 7)
+    scale = jnp.asarray([2.0 / (Wg - 1), 2.0 / (Hg - 1)], px_raw.dtype)
+    F = duv_d7 * scale[None, :, None]                      # (P, 2, 7)
+
+    raw3 = px_raw[..., :3]
+    if use_affine:
+        a = aff_t[0] - aff_s[0]
+        ea = jnp.exp(-a)
+        px = ea * raw3 + (aff_t[1] - aff_s[1])
+        dIs = dI_dc[..., :3, :] * ea
+    else:
+        ea = jnp.ones(())
+        px = raw3
+        dIs = dI_dc[..., :3, :]
+    r0 = (src_px[..., :3] - px) * valid[..., None]
+    return r0, valid, dIs, F, raw3, ea
+
+
 def linearize_warp(
     X: jax.Array,            # (P, 3) source-frame points
     src_px: jax.Array,       # (P, C>=3) source samples
@@ -93,7 +184,15 @@ def linearize_warp(
     columns are [pose tangent (6, right-perturbation of ``rel``),
     uniform log-depth shift (1), aff_s (2), aff_t (2)] — exactly the forward
     -mode columns of the former jacfwd formulation, verified element-wise in
-    tests/test_mapping.py::TestAnalyticJacobian.
+    tests/test_mapping.py::TestAnalyticJacobian.  Built from
+    :func:`linearize_warp_factors`; :func:`assemble` consumes the factors
+    directly and never materializes this J (traffic — see factors docstring).
+
+    NOTE on the geometry chain: per-point 3x3/2x3-contraction chains are
+    written as broadcast multiply-sums, NOT einsums — a dot_general with a
+    tiny contraction dim batched over P lowers to MXU tiles at ~2%
+    utilization, while the broadcast form is straight VPU work that XLA
+    fuses into the warp.
 
     ``packed``: ``trg_img`` is a :func:`pack_bilinear_taps` (H, W, 4C) image;
     the warp then costs ONE row-gather per point instead of four (the gathers
@@ -114,82 +213,21 @@ def linearize_warp(
     grid and the dI/dcoords scale belong to the IMAGE — exactly what the
     non-pooled paths derive from ``trg_img.shape`` themselves).
     """
-    Hg, Wg = geo_dims
-    R = rel[:3, :3]
-    t = rel[:3, 3]
-    p = projection.transform(X, rel)                       # (P, 3)
-    if taps is not None:
-        tap_rows, t_wx, t_wy, in_bound = taps
-        px_raw, dI_dc = bilinear_grad_from_taps(
-            tap_rows, t_wx, t_wy, taps_hw if taps_hw is not None else geo_dims
-        )
-        trg_ok = in_bound
-    else:
-        uv = projection.project(p, K)                      # (P, 2)
-        coords = ph.normalized_image_coords(uv, geo_dims)
-        if packed:
-            px_raw, dI_dc, trg_ok = bilinear_sample_grad_packed(trg_img, coords)
-        else:
-            px_raw, dI_dc, trg_ok = bilinear_sample_grad(trg_img, coords)
-    trg_ok = trg_ok & (p[..., 2] > z_valid)
-    valid = (valid_static & trg_ok).astype(px_raw.dtype)
-
-    # du/dp with the projection eps-guard (zero derivative on the guarded
-    # branch, matching AD through the where)
-    fx, fy = K[0, 0], K[1, 1]
-    z = p[..., 2]
-    ok_z = jnp.abs(z) > _PROJ_EPS
-    z_inv = jnp.where(ok_z, 1.0 / jnp.where(ok_z, z, 1.0), _PROJ_EPS)
-    dzinv = jnp.where(ok_z, -z_inv * z_inv, 0.0)
-    zero = jnp.zeros_like(z)
-    du_dp = jnp.stack(
-        [
-            jnp.stack([fx * z_inv, zero, fx * p[..., 0] * dzinv], axis=-1),
-            jnp.stack([zero, fy * z_inv, fy * p[..., 1] * dzinv], axis=-1),
-        ],
-        axis=-2,
-    )  # (P, 2, 3)
-
-    # dp/d[omega(3), v(3), logdepth(1)]: [-R [X]_x | R | R X].
-    # NOTE: per-point 3x3/2x3-contraction chains are written as broadcast
-    # multiply-sums, NOT einsums — a dot_general with a tiny contraction dim
-    # batched over P lowers to MXU tiles at ~2% utilization, while the
-    # broadcast form is straight VPU work that XLA fuses into the warp.
-    dp_dw = -jnp.sum(
-        R[None, :, :, None] * so3.hat(X)[:, None, :, :], axis=2
-    )  # (P, 3, 3)
-    dp_dv = jnp.broadcast_to(R, X.shape[:1] + (3, 3))
-    dp_dl = (p - t)[..., None]                             # (P, 3, 1) = R X
-    M7 = jnp.concatenate([dp_dw, dp_dv, dp_dl], axis=-1)   # (P, 3, 7)
-
-    duv_d7 = jnp.sum(
-        du_dp[:, :, :, None] * M7[:, None, :, :], axis=2
-    )  # (P, 2, 7)
-    # chain through coords = 2 u / (dims - 1) - 1
-    scale = jnp.asarray([2.0 / (Wg - 1), 2.0 / (Hg - 1)], px_raw.dtype)
-    dc_d7 = duv_d7 * scale[None, :, None]
+    r0, valid, dIs, F, raw3, ea = linearize_warp_factors(
+        X, src_px, valid_static, rel, K, trg_img, geo_dims,
+        aff_s, aff_t, use_affine, z_valid, packed, taps, taps_hw,
+    )
     dpx_d7 = jnp.sum(
-        dI_dc[:, :, :, None] * dc_d7[:, None, :, :], axis=2
-    )  # (P, C, 7)
-
-    C_img = px_raw.shape[-1]
+        dIs[:, :, :, None] * F[:, None, :, :], axis=2
+    )  # (P, 3, 7)
     if use_affine:
-        a = aff_t[0] - aff_s[0]
-        ea = jnp.exp(-a)
-        px = ea * px_raw[..., :3] + (aff_t[1] - aff_s[1])
-        dpx_d7 = dpx_d7[..., :3, :] * ea
-        raw3 = px_raw[..., :3]
         ones = jnp.ones_like(raw3)
         # r = s - px'; columns [a_s, b_s, a_t, b_t]
         J_aff = jnp.stack(
             [-ea * raw3, ones, ea * raw3, -ones], axis=-1
         )  # (P, 3, 4)
     else:
-        px = px_raw[..., :3]
-        dpx_d7 = dpx_d7[..., :3, :]
-        J_aff = jnp.zeros(px.shape + (4,))
-
-    r0 = (src_px[..., :3] - px) * valid[..., None]
+        J_aff = jnp.zeros(raw3.shape + (4,))
     J = jnp.concatenate([-dpx_d7, J_aff], axis=-1) * valid[..., None, None]
     return r0, valid, J
 
@@ -255,7 +293,7 @@ def build_cmap(trg_index: jax.Array, B: int) -> jax.Array:
 def assemble(
     buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
     par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
-    tap_dtype=None, point_stride: int = 1,
+    tap_dtype=None, point_stride: int = 1, factored: bool = True,
 ):
     """One linearization pass of the windowed mapping system: scan over
     sources, vmap over target slots; landmark reductions via one-hot segment
@@ -346,6 +384,104 @@ def assemble(
             T_max, P, C4
         )
 
+        def one_slot_factored(t, gv, tap_rows, t_wx, t_wy, t_okb, aff_t):
+            """Factored normal-equation blocks: the 7 geometry columns of J
+            factor through the 2-dim image coordinate (J7 = -dIs @ F), so
+            every reduction is built from (P, 2, 7)/(P, 3, 2) factors — the
+            (P, 3, 10) J/Jw/Jsub of the direct path (below) never exist.
+            Same math, element-wise equal to 1e-5 (TestFactoredAssemble)."""
+            rel0 = jnp.matmul(
+                se3.inverse(poses[t]), poses[s],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            r0, valid, dIs, F, raw3, ea = linearize_warp_factors(
+                X,
+                src_px.astype(taps_s.dtype) if tap_dtype is not None else src_px,
+                vstat, rel0, buffers.K[s], None, geo_dims,
+                affine[s], aff_t, use_affine,
+                taps=(tap_rows, t_wx, t_wy, t_okb),
+                taps_hw=(Hp, Wp),
+            )
+            r0 = r0.astype(jnp.float32)
+            dIs = dIs.astype(jnp.float32)
+            F = F.astype(jnp.float32)
+            raw3 = raw3.astype(jnp.float32)
+            ea = ea.astype(jnp.float32)
+            valid = valid.astype(jnp.float32)
+            ix = col16(s, t, B_pool)
+
+            gvf = gv.astype(r0.dtype)
+            w = gvf * valid[..., None] / jnp.maximum(jnp.abs(r0), 1e-3)
+            w = w / (C * nv * cnt)                           # (P, 3)
+
+            wdI = w[..., None] * dIs                         # (P, 3, 2)
+            # channel contractions (c = 3): pure VPU broadcast-sums
+            G = jnp.sum(wdI[:, :, :, None] * dIs[:, :, None, :], axis=1)  # (P,2,2)
+            rI = jnp.sum(wdI * r0[..., None], axis=1)        # (P, 2)
+            if use_affine:
+                era = ea * raw3                              # (P, 3)
+                Ar = jnp.sum(wdI * era[..., None], axis=1)   # (P, 2)
+                A1 = jnp.sum(wdI, axis=1)                    # (P, 2)
+                s2 = jnp.sum(w * era * era, axis=1)          # (P,)
+                s1 = jnp.sum(w * era, axis=1)
+                s0 = jnp.sum(w, axis=1)
+                u1 = jnp.sum(w * era * r0, axis=1)
+                v0 = jnp.sum(w * r0, axis=1)
+            else:
+                # J_aff is identically zero (linearize_warp contract)
+                P = r0.shape[0]
+                Ar = A1 = jnp.zeros((P, 2))
+                s2 = s1 = s0 = u1 = v0 = jnp.zeros((P,))
+
+            tmp = jnp.sum(G[:, :, :, None] * F[:, None, :, :], axis=2)  # (P,2,7)
+            H77 = jnp.einsum(
+                "pki,pkj->ij", F, tmp, precision=jax.lax.Precision.HIGHEST
+            )
+            g7 = -jnp.einsum(
+                "pk,pki->i", rI, F, precision=jax.lax.Precision.HIGHEST
+            )
+            # J_aff columns are [-ea raw, 1, ea raw, -1] -> A-stack (P, 2, 4)
+            Astack = jnp.stack([-Ar, A1, Ar, -A1], axis=-1)
+            H7a = -jnp.einsum(
+                "pki,pkm->im", F, Astack, precision=jax.lax.Precision.HIGHEST
+            )
+            S2, S1, S0 = jnp.sum(s2), jnp.sum(s1), jnp.sum(s0)
+            # Haa[m, n] = sum w Jaff[m] Jaff[n], Jaff = [-er, 1, er, -1]
+            Haa = jnp.stack([
+                jnp.stack([S2, -S1, -S2, S1]),
+                jnp.stack([-S1, S0, S1, -S0]),
+                jnp.stack([-S2, S1, S2, -S1]),
+                jnp.stack([S1, -S0, -S1, S0]),
+            ])
+            U1, V0 = jnp.sum(u1), jnp.sum(v0)
+            g_aff = jnp.stack([-U1, V0, U1, -V0])
+
+            H10 = jnp.zeros((10, 10))
+            H10 = H10.at[:6, :6].set(H77[:6, :6])
+            H10 = H10.at[:6, 6:].set(H7a[:6])
+            H10 = H10.at[6:, :6].set(H7a[:6].T)
+            H10 = H10.at[6:, 6:].set(Haa)
+            g10 = jnp.concatenate([g7[:6], g_aff])
+
+            # per-point landmark payload
+            tmp6 = tmp[:, :, 6]                               # (P, 2)
+            b7_pt = jnp.sum(F * tmp6[:, :, None], axis=1)     # (P, 7)
+            d_pt = b7_pt[:, 6]
+            gl_pt = -jnp.sum(F[:, :, 6] * rI, axis=1)
+            baff_pt = -jnp.sum(Astack * F[:, :, 6][:, :, None], axis=1)  # (P, 4)
+            b_pt = jnp.concatenate([b7_pt[:, :6], baff_pt], axis=-1)  # (P, 10)
+
+            Ad_inv = adjoint(se3.inverse(rel0))
+            Tmat = jnp.zeros((10, 16))
+            Tmat = Tmat.at[:6, :6].set(jnp.eye(6))
+            Tmat = Tmat.at[:6, 6:12].set(-Ad_inv)
+            Tmat = Tmat.at[6:, 12:].set(jnp.eye(4))
+            m = par_mask[ix]
+            H_loc = (Tmat.T @ H10 @ Tmat) * m[:, None] * m[None, :]
+            g_loc = (Tmat.T @ g10) * m
+            cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
+            return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmat, cost_slot
+
         def one_slot(t, gv, tap_rows, t_wx, t_wy, t_okb, aff_t):
             rel0 = jnp.matmul(
                 se3.inverse(poses[t]), poses[s],
@@ -397,7 +533,8 @@ def assemble(
             cost_slot = gvf * jnp.sum(jnp.abs(r0)) / (C * nv)
             return H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmat, cost_slot
 
-        H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmats, cost_slot = jax.vmap(one_slot)(
+        slot_fn = one_slot_factored if factored else one_slot
+        H_loc, g_loc, d_pt, b_pt, gl_pt, ix, Tmats, cost_slot = jax.vmap(slot_fn)(
             trg_index[s], g_valid[s], taps_s, wx_s, wy_s,
             okb_s, affine[trg_index[s]]
         )
@@ -487,7 +624,8 @@ def solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "geo_dims", "max_iters", "use_affine", "tap_dtype", "point_stride"
+        "geo_dims", "max_iters", "use_affine", "tap_dtype", "point_stride",
+        "factored",
     ),
 )
 def gn_mapping(
@@ -505,6 +643,7 @@ def gn_mapping(
     drag_supporting: jax.Array = np.float32(0.0),
     tap_dtype: str | None = None,  # see NEGATIVE RESULT below — keep None
     point_stride: int = 1,         # >1: linearize on every k-th bundle point
+    factored: bool = True,         # factored normal equations (same math)
 ) -> GNMapResult:
     # NEGATIVE RESULT (round-3 chip A/B, examples/bench_mapping.py):
     # tap_dtype="bfloat16" is 70% SLOWER (48.1 vs 28.4 ms/LM-iter) — TPU
@@ -539,7 +678,7 @@ def gn_mapping(
             buffers, trg_index, trg_valid, src_valid, trg_images, src_samples,
             par_mask, geo_dims, use_affine, poses, kp_logdepth, affine,
             tap_dtype=jnp.dtype(tap_dtype) if tap_dtype else None,
-            point_stride=point_stride,
+            point_stride=point_stride, factored=factored,
         )
 
     def solve_at(H, g_t, D, gl, Bs, lam):

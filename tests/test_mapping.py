@@ -396,3 +396,72 @@ class TestSuppRefinementGN:
         )
         adam_final = float(np.asarray(losses)[9])
         assert float(costs[1]) <= adam_final * 1.1, (float(costs[1]), adam_final)
+
+
+class TestFactoredAssemble:
+    """The factored normal-equation path (J7 = -dIs @ F, no (P, 3, 10)
+    Jacobian materialization) equals the direct J path element-wise."""
+
+    @pytest.mark.parametrize("use_affine", [True, False])
+    def test_matches_direct(self, window_setup, use_affine):
+        from super_primitive_tpu.solve.gn_mapping import assemble, build_cmap
+
+        buf, gt_poses, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity,
+            use_affine, use_affine,
+        )
+        par_mask = jnp.concatenate([
+            jnp.repeat(jnp.asarray(masks.xi_mask), 6),
+            jnp.repeat(jnp.asarray(masks.affine_mask), 2),
+        ])
+        trg_index = jnp.asarray(slots.trg_index)
+        trg_images = buf.image_pool()[trg_index]
+        src_samples = buf.source_samples(geo_dims)
+        args = (
+            buf, trg_index, jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid), trg_images, src_samples,
+            par_mask, geo_dims, use_affine,
+            buf.pose_pool(), buf.kp_logdepth, buf.affine_pool(),
+        )
+        H_d, g_d, D_d, gl_d, Bs_d, cost_d = assemble(*args, factored=False)
+        H_f, g_f, D_f, gl_f, Bs_f, cost_f = assemble(*args, factored=True)
+        np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_d),
+                                   rtol=1e-6)
+        sc = max(np.abs(np.asarray(H_d)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_d),
+                                   atol=2e-5 * sc)
+        gsc = max(np.abs(np.asarray(g_d)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_d),
+                                   atol=2e-5 * gsc)
+        np.testing.assert_allclose(np.asarray(D_f), np.asarray(D_d),
+                                   atol=2e-5 * max(np.abs(np.asarray(D_d)).max(), 1e-6))
+        np.testing.assert_allclose(np.asarray(gl_f), np.asarray(gl_d),
+                                   atol=2e-5 * max(np.abs(np.asarray(gl_d)).max(), 1e-6))
+        np.testing.assert_allclose(np.asarray(Bs_f), np.asarray(Bs_d),
+                                   atol=2e-5 * max(np.abs(np.asarray(Bs_d)).max(), 1e-6))
+
+    def test_gn_solve_equal_converged_cost(self, window_setup):
+        buf, gt_poses, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        sargs = (
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+        )
+        res_d = gn_mapping(buf, *sargs, geo_dims, max_iters=15, factored=False)
+        res_f = gn_mapping(buf, *sargs, geo_dims, max_iters=15, factored=True)
+        np.testing.assert_allclose(
+            float(res_f.final_cost), float(res_d.final_cost), rtol=1e-3
+        )
+        for i in (1, 2):
+            ed = pose_err(res_d.poses[i], jnp.asarray(gt_poses[i]))
+            ef = pose_err(res_f.poses[i], jnp.asarray(gt_poses[i]))
+            assert ef < ed * 1.15 + 1e-5, (i, ed, ef)
