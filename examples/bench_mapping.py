@@ -111,13 +111,15 @@ def main():
         jnp.asarray(masks.affine_mask),
     )
 
-    # --- GN mapping: tap-dtype and point-stride A/Bs ---
-    for tap_dtype, stride in ((None, 1), (None, 2), (None, 4), ("bfloat16", 1)):
+    # --- GN mapping: assemble-path / tap-dtype / point-stride A/Bs ---
+    for tap_dtype, stride, factored in (
+        (None, 1, True), (None, 1, False), (None, 2, True), (None, 4, True),
+    ):
         def run_gn():
             return gn_mapping(
                 buf, *sargs, geo_dims, max_iters=args.iters, use_affine=True,
                 tol=0.0,  # run all iters for stable timing
-                tap_dtype=tap_dtype, point_stride=stride,
+                tap_dtype=tap_dtype, point_stride=stride, factored=factored,
             )
 
         t0 = time.perf_counter()
@@ -133,7 +135,8 @@ def main():
             times.append(time.perf_counter() - t0)
         dt = min(times)
         print(
-            f"gn_mapping[taps={tap_dtype or 'f32'}, stride={stride}]: "
+            f"gn_mapping[taps={tap_dtype or 'f32'}, stride={stride}, "
+            f"factored={factored}]: "
             f"{1000 * dt:.1f} ms / solve ({iters} LM iters, "
             f"{1000 * dt / max(iters, 1):.1f} ms/iter; compile+run1 {compile_s:.1f} s; "
             f"cost {float(res.initial_cost):.4f} -> {float(res.final_cost):.4f})"
