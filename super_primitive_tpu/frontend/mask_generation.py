@@ -358,33 +358,87 @@ def infer_masks(
             kps_f = kps_f[keep]
         return sel, kps_f
 
-    with _stage("sam_round1"):
-        sel, kps_f = run_round(keypoints)
-    if len(sel["masks"]):
-        H, W = sel["masks"].shape[-2:]  # mask working resolution
-        coverage = sel["masks"].any(axis=0)
-    else:
-        coverage = np.zeros((H, W), bool)
-    n1 = len(sel["masks"])
-    if on_round1 is not None:
-        on_round1(sel["masks"])
+    sr = getattr(predict_fn, "select_round", None)
+    deferred_ok = (
+        sr is not None
+        and sam_params.select_smallest
+        and getattr(sr, "dispatch", None) is not None
+    )
+    if deferred_ok:
+        # Deferred-transfer flow: round 1's survivor masks stay ON DEVICE.
+        # Coverage for active resampling ships as one OR-reduced packed
+        # plane; the on_round1 hook gets the device handle (BiNI dispatches
+        # from device-resized masks, no bool re-upload); the full host
+        # masks materialize only AFTER round 2's decode is dispatched, so
+        # their relay transfer overlaps round 2's device execution.
+        with _stage("sam_round1"):
+            h1 = sr.dispatch(image, keypoints, sam_params)
+            sel = sr.finish(h1, sam_params, defer_masks=True)
+            deferred = sel.pop("deferred")
+            kps_f = keypoints[sel["keypoints_ids"]]
+        n1 = deferred.n_rows
+        if n1:
+            H, W = deferred.hs, deferred.ws  # mask working resolution
+            coverage = deferred.coverage()
+        else:
+            coverage = np.zeros((H, W), bool)
+        if on_round1 is not None:
+            on_round1(deferred if n1 else np.zeros((0, H, W), bool))
 
-    num_added = 0
-    sel["src_round"] = np.zeros(n1, np.int64)
-    sel["src_idx"] = np.arange(n1)
-    if num_pts_active > 0:
-        kps_active = active_sample_pos(coverage, num_pts_active, rng)
-        with _stage("sam_round2"):
-            sel2, kps2_f = run_round(kps_active)
-        num_added = len(kps2_f)
-        sel = {
-            "masks": np.concatenate([sel["masks"], sel2["masks"]], axis=0),
-            "iou_preds": np.concatenate([sel["iou_preds"], sel2["iou_preds"]]),
-            "boxes": np.concatenate([sel["boxes"], sel2["boxes"]], axis=0),
-            "src_round": np.concatenate([sel["src_round"], np.ones(num_added, np.int64)]),
-            "src_idx": np.concatenate([sel["src_idx"], np.arange(num_added)]),
-        }
-        kps_f = np.concatenate([kps_f, kps2_f], axis=0)
+        num_added = 0
+        sel["src_round"] = np.zeros(n1, np.int64)
+        sel["src_idx"] = np.arange(n1)
+        if num_pts_active > 0:
+            kps_active = active_sample_pos(coverage, num_pts_active, rng)
+            with _stage("sam_round2"):
+                h2 = sr.dispatch(image, kps_active, sam_params)
+                # round-1 survivor transfer rides under round-2's decode
+                sel["masks"] = deferred.fetch()
+                sel2 = sr.finish(h2, sam_params)
+                kps2_f = kps_active[sel2["keypoints_ids"]]
+            num_added = len(kps2_f)
+            sel = {
+                "masks": np.concatenate([sel["masks"], sel2["masks"]], axis=0),
+                "iou_preds": np.concatenate([sel["iou_preds"], sel2["iou_preds"]]),
+                "boxes": np.concatenate([sel["boxes"], sel2["boxes"]], axis=0),
+                "src_round": np.concatenate(
+                    [sel["src_round"], np.ones(num_added, np.int64)]
+                ),
+                "src_idx": np.concatenate([sel["src_idx"], np.arange(num_added)]),
+            }
+            kps_f = np.concatenate([kps_f, kps2_f], axis=0)
+        else:
+            sel["masks"] = deferred.fetch()
+    else:
+        with _stage("sam_round1"):
+            sel, kps_f = run_round(keypoints)
+        if len(sel["masks"]):
+            H, W = sel["masks"].shape[-2:]  # mask working resolution
+            coverage = sel["masks"].any(axis=0)
+        else:
+            coverage = np.zeros((H, W), bool)
+        n1 = len(sel["masks"])
+        if on_round1 is not None:
+            on_round1(sel["masks"])
+
+        num_added = 0
+        sel["src_round"] = np.zeros(n1, np.int64)
+        sel["src_idx"] = np.arange(n1)
+        if num_pts_active > 0:
+            kps_active = active_sample_pos(coverage, num_pts_active, rng)
+            with _stage("sam_round2"):
+                sel2, kps2_f = run_round(kps_active)
+            num_added = len(kps2_f)
+            sel = {
+                "masks": np.concatenate([sel["masks"], sel2["masks"]], axis=0),
+                "iou_preds": np.concatenate([sel["iou_preds"], sel2["iou_preds"]]),
+                "boxes": np.concatenate([sel["boxes"], sel2["boxes"]], axis=0),
+                "src_round": np.concatenate(
+                    [sel["src_round"], np.ones(num_added, np.int64)]
+                ),
+                "src_idx": np.concatenate([sel["src_idx"], np.arange(num_added)]),
+            }
+            kps_f = np.concatenate([kps_f, kps2_f], axis=0)
 
     with _stage("sam_edges"):
         if not len(sel["masks"]):

@@ -138,6 +138,18 @@ class FrontProcessor:
         r1_handle = []
 
         def on_round1(masks_r1):
+            if hasattr(masks_r1, "device_masks_resized"):  # DeferredMasks
+                if masks_r1.n_rows == 0 or Hg < masks_r1.hs or Wg < masks_r1.ws:
+                    # downsampled integration shape: resized_bbox_sizes is
+                    # only exact when resizing up — take the host path
+                    masks_r1 = masks_r1.fetch()
+                else:
+                    r1_handle.append(
+                        self._dispatch_integration_deferred(
+                            normals_dev, masks_r1, K_j, bini_cfg, (Hg, Wg)
+                        )
+                    )
+                    return
             if masks_r1.shape[0] == 0:
                 r1_handle.append(None)
                 return
@@ -275,10 +287,50 @@ class FrontProcessor:
             handle["n_big"] = n_big
         return handle
 
+    def _dispatch_integration_deferred(
+        self, normals_dev, deferred, K_j, bini_cfg, geo_hw, crop: int = 128
+    ) -> dict:
+        """BiNI dispatch straight from device-resident SAM survivor masks
+        (nets.sam.predictor.DeferredMasks): crop/full routing comes from the
+        selection boxes (exact for up-resizes), the integration-resolution
+        masks are gathered/unpacked/nearest-resized on device — no mask
+        bytes cross the relay before the solve."""
+        import numpy as np
+
+        from ..integrate.bini import integrate_normals, integrate_normals_cropped
+
+        Hg, Wg = geo_hw
+        hs_r, ws_r = deferred.resized_bbox_sizes(Hg, Wg)
+        fits = (hs_r <= crop) & (ws_r <= crop)
+        handle = {"deferred": deferred, "fits": fits, "crop": crop, "geo": geo_hw}
+
+        if fits.any():
+            idx = np.nonzero(fits)[0]
+            cap = max(32, int(np.ceil(idx.size / 32) * 32))
+            m_small = deferred.device_masks_resized(idx, cap, Hg, Wg)
+            handle["crop_out"] = integrate_normals_cropped(
+                normals_dev, m_small, K_j, bini_cfg, crop, return_crops=True
+            )
+            handle["n_small"] = idx.size
+        if (~fits).any():
+            idx_b = np.nonzero(~fits)[0]
+            cap = max(8, int(np.ceil(idx_b.size / 8) * 8))
+            m_big = deferred.device_masks_resized(idx_b, cap, Hg, Wg)
+            handle["full_out"] = integrate_normals(normals_dev, m_big, K_j, bini_cfg)
+            handle["n_big"] = idx_b.size
+        return handle
+
     def _fetch_integration(self, handle: dict) -> np.ndarray:
         """Materialize a :meth:`_dispatch_integration` handle into per-segment
         depth fields (N, H, W): exp of the log-depth inside the mask, zero
         outside (process_frame.py:231-236 semantics)."""
+        if "deferred" in handle and "masks" not in handle:
+            # host compositing masks: the deferred fetch is cached (already
+            # materialized by infer_masks during round 2), so this is a
+            # resize, not a transfer
+            handle["masks"] = _nn_resize(
+                handle["deferred"].fetch().astype(np.uint8), handle["geo"]
+            ).astype(bool)
         masks = handle["masks"]
         fits = handle["fits"]
         N, H, W = masks.shape
@@ -380,5 +432,27 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
             out_size=256,
         )
 
+    def _select_dispatch(image_uint8, kps_norm, sam_params):
+        xy = _to_input_xy(image_uint8, kps_norm)
+        return predictor.select_dispatch(
+            xy,
+            iou_threshold=sam_params.iou_threshold,
+            stability_threshold=sam_params.stability_threshold,
+            out_size=256,
+        )
+
+    def _select_finish(handle, sam_params, defer_masks=False):
+        return predictor.select_finish(
+            handle,
+            nms_enabled=sam_params.nms,
+            box_nms_thresh=sam_params.box_nms_thresh,
+            filter_by_box_size=sam_params.filter_by_box_size,
+            defer_masks=defer_masks,
+        )
+
+    # two-phase protocol: lets infer_masks defer round-1 mask transfer
+    # behind round-2's decode and keep BiNI's masks device-resident
+    select_round.dispatch = _select_dispatch
+    select_round.finish = _select_finish
     mask_predict_fn.select_round = select_round
     return FrontProcessor(config, normals_fn, mask_predict_fn)

@@ -90,6 +90,130 @@ def _packbits_lastaxis(masks: jax.Array) -> jax.Array:
     return jnp.sum(b * weights, axis=-1, dtype=jnp.uint8)
 
 
+@jax.jit
+def _or_packed_rows(packed_rows: jax.Array, nrows: jax.Array) -> jax.Array:
+    """Bitwise-OR of the first ``nrows`` rows of (cap, S, S8) packed masks —
+    the device side of coverage: survivors OR-reduce to one packed (S, S8)
+    plane (~8 KB) instead of shipping every survivor mask to the host."""
+    valid = (jnp.arange(packed_rows.shape[0]) < nrows)[:, None, None]
+    x = jnp.where(valid, packed_rows, jnp.uint8(0))
+    return jax.lax.reduce(x, jnp.uint8(0), jax.lax.bitwise_or, (0,))
+
+
+@functools.partial(jax.jit, static_argnames=("hs", "ws", "Hg", "Wg"))
+def _gather_unpack_resize(packed, perm, nvalid, hs, ws, Hg, Wg):
+    """Gather survivor rows from (P, S, S8) packed masks, unpack the bits,
+    and nearest-resize the (hs, ws) valid region to (Hg, Wg) — all on
+    device.  Index formula floor(dst * src/dst_size) matches both cv2
+    INTER_NEAREST and torch 'nearest' (asserted in tests/test_sam_pipeline).
+    Rows >= nvalid (bucket padding) come out all-False, matching the
+    frontend's _pad_bucket zero padding."""
+    rows = packed[perm]  # (cap, S, S8)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (rows[..., None] >> shifts) & jnp.uint8(1)
+    cap, S = rows.shape[0], rows.shape[1]
+    m = bits.reshape(cap, S, rows.shape[2] * 8)
+    # host-side (static) cv2-exact double-precision index tables
+    ri = np.minimum(np.floor(np.arange(Hg) * (hs / Hg)), hs - 1).astype(np.int32)
+    ci = np.minimum(np.floor(np.arange(Wg) * (ws / Wg)), ws - 1).astype(np.int32)
+    m = m[:, ri][:, :, ci].astype(bool)
+    valid = (jnp.arange(cap) < nvalid)[:, None, None]
+    return m & valid
+
+
+class DeferredMasks:
+    """Post-NMS survivor masks left bit-packed ON DEVICE.
+
+    Produced by :meth:`SamPredictor.select_finish` with ``defer_masks=True``
+    so the masks-stage host traffic leaves the critical path (NOTES r04
+    opportunity #1):
+
+    - :meth:`coverage` ships one OR-reduced packed plane (~S*S/8 bytes)
+      for active keypoint resampling instead of every survivor mask;
+    - :meth:`device_masks_resized` feeds BiNI integration-resolution masks
+      with zero host round-trip (no ~10 MB bool re-upload);
+    - :meth:`fetch` materializes the host masks later — e.g. while the
+      NEXT round's decode executes, overlapping transfer with compute.
+
+    Row order of every product matches the selection dict ("keypoints_ids"
+    order), identical to the eager ``masks`` array.
+    """
+
+    def __init__(self, fetches, order_pos, n_rows, hs, ws, boxes=None):
+        # fetches: [(lo, rows_np, got_dev (cap_i, S, S8))]
+        self._fetches = fetches
+        self._order_pos = order_pos  # global keypoint id -> output row
+        self.n_rows = n_rows
+        self.hs, self.ws = hs, ws
+        self.boxes = boxes  # (n_rows, 4) xyxy on the (ws, hs) grid
+        self._host = None
+        self._concat = None
+        # source position in the padded device concat for each output row
+        self._src_pos = np.zeros(n_rows, np.int64)
+        off = 0
+        for lo, rows, got in fetches:
+            for k, r in enumerate(rows):
+                self._src_pos[order_pos[int(r) + lo]] = off + k
+            off += got.shape[0]
+
+    def _device_concat(self):
+        if self._concat is None:
+            gots = [got for _, _, got in self._fetches]
+            self._concat = gots[0] if len(gots) == 1 else jnp.concatenate(gots)
+        return self._concat
+
+    def coverage(self) -> np.ndarray:
+        """(hs, ws) bool any-mask coverage, OR-reduced on device."""
+        if self.n_rows == 0:
+            return np.zeros((self.hs, self.ws), bool)
+        acc = None
+        for _, rows, got in self._fetches:
+            c = _or_packed_rows(got, jnp.int32(rows.size))
+            acc = c if acc is None else jnp.bitwise_or(acc, c)
+        cov = np.unpackbits(np.asarray(acc), axis=-1)
+        return cov[: self.hs, : self.ws].astype(bool)
+
+    def device_masks_resized(self, out_rows: np.ndarray, cap: int,
+                             Hg: int, Wg: int) -> jax.Array:
+        """(cap, Hg, Wg) device bool for output rows ``out_rows`` (bucket-
+        padded to ``cap``; padding rows all-False)."""
+        perm = np.zeros(cap, np.int32)
+        perm[: out_rows.size] = self._src_pos[out_rows]
+        return _gather_unpack_resize(
+            self._device_concat(), jnp.asarray(perm), jnp.int32(out_rows.size),
+            self.hs, self.ws, Hg, Wg,
+        )
+
+    def resized_bbox_sizes(self, Hg: int, Wg: int):
+        """Per-row (h, w) bbox extents AFTER nearest-resize to (Hg, Wg),
+        computed from the selection boxes without touching the masks.
+
+        Exact when resizing up (Hg >= hs and Wg >= ws — the floor index map
+        is then surjective, so the bbox-extreme source rows/cols are always
+        sampled); callers must not rely on it for downsampling."""
+        b = self.boxes
+        ri = np.minimum(np.floor(np.arange(Hg) * (self.hs / Hg)), self.hs - 1)
+        ci = np.minimum(np.floor(np.arange(Wg) * (self.ws / Wg)), self.ws - 1)
+        h = np.searchsorted(ri, b[:, 3] - 1, "right") - np.searchsorted(ri, b[:, 1], "left")
+        w = np.searchsorted(ci, b[:, 2] - 1, "right") - np.searchsorted(ci, b[:, 0], "left")
+        return np.maximum(h, 0), np.maximum(w, 0)
+
+    def fetch(self) -> np.ndarray:
+        """Materialize (n_rows, hs, ws) host bool masks (cached)."""
+        if self._host is None:
+            masks = np.zeros((self.n_rows, self.hs, self.ws), bool)
+            got_all = jax.device_get(
+                [got[: rows.size] for _, rows, got in self._fetches]
+            )
+            for (lo, rows, _), got in zip(self._fetches, got_all):
+                bits = np.unpackbits(got, axis=-1)
+                bits = bits[:, : self.hs, : self.ws].astype(bool)
+                for r, m in zip(rows, bits):
+                    masks[self._order_pos[int(r) + lo]] = m
+            self._host = masks
+        return self._host
+
+
 class SamPredictor:
     """Holds params + jitted encode/decode; stateful per-image like the
     reference predictor."""
@@ -481,6 +605,28 @@ class SamPredictor:
         (M, h, w) bool at working resolution, iou_preds, keypoints_ids
         (original prompt indices, NMS score order), boxes, masks_ids.
         """
+        handle = self.select_dispatch(
+            points_input_frame, iou_threshold, stability_threshold,
+            out_size=out_size, chunk=chunk,
+        )
+        return self.select_finish(
+            handle, nms_enabled=nms_enabled, box_nms_thresh=box_nms_thresh,
+            filter_by_box_size=filter_by_box_size,
+        )
+
+    def select_dispatch(
+        self,
+        points_input_frame: np.ndarray,
+        iou_threshold: float,
+        stability_threshold: float,
+        out_size: int = 256,
+        chunk: Optional[int] = None,
+    ) -> dict:
+        """Enqueue the decode+select dispatches for one prompt round and
+        return a handle — no host synchronization happens here, so a caller
+        can overlap other host/transfer work (e.g. the previous round's
+        deferred mask fetch) with this round's device execution before
+        calling :meth:`select_finish`."""
         assert self._features is not None, "call set_image first"
         h2, w2 = self._input_hw
         hs = int(round(h2 * out_size / self.target_length))
@@ -516,6 +662,25 @@ class SamPredictor:
                     out_size, iou_thr, stab_thr,
                 ))
             )
+        return {"pending": pending, "hs": hs, "ws": ws}
+
+    def select_finish(
+        self,
+        handle: dict,
+        nms_enabled: bool = True,
+        box_nms_thresh: float = 0.8,
+        filter_by_box_size: bool = True,
+        defer_masks: bool = False,
+    ) -> dict:
+        """Fetch the per-keypoint scalars of a :meth:`select_dispatch`
+        handle, run box NMS on the host, and gather the survivor masks.
+
+        ``defer_masks=True`` leaves the survivor masks bit-packed on device:
+        the returned dict carries ``masks=None`` plus a :class:`DeferredMasks`
+        under ``"deferred"`` (device coverage / device-resized BiNI masks /
+        late host materialization)."""
+        pending = handle["pending"]
+        hs, ws = handle["hs"], handle["ws"]
         # ONE batched fetch for every chunk's scalars: device_get schedules
         # all async copies before blocking, so the 4-per-chunk arrays cost
         # ~one relay RTT instead of 4 sequential np.asarray round-trips
@@ -559,20 +724,19 @@ class SamPredictor:
                 (lo, rows, self._gather_rows(packed, jnp.asarray(pad_rows)))
             )
         order_pos = {int(g): i for i, g in enumerate(sel_ids)}
-        masks = np.zeros((sel_ids.size, hs, ws), bool)
-        got_all = jax.device_get([got[: rows.size] for _, rows, got in fetches])
-        for (lo, rows, _), got in zip(fetches, got_all):
-            bits = np.unpackbits(got, axis=-1)
-            bits = bits[:, :hs, :ws].astype(bool)
-            for r, m in zip(rows, bits):
-                masks[order_pos[int(r) + lo]] = m
-        return {
-            "masks": masks,
+        deferred = DeferredMasks(
+            fetches, order_pos, sel_ids.size, hs, ws, boxes=boxes_all[sel_ids]
+        )
+        out = {
+            "masks": None if defer_masks else deferred.fetch(),
             "iou_preds": iou_all[sel_ids],
             "keypoints_ids": sel_ids,
             "boxes": boxes_all[sel_ids],
             "masks_ids": pick_all[sel_ids],
         }
+        if defer_masks:
+            out["deferred"] = deferred
+        return out
 
     def postprocess_masks(self, lowres_masks: jax.Array) -> jax.Array:
         """Upscale lowres logits to model res, crop padding, resize to the

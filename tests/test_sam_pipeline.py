@@ -156,6 +156,181 @@ class TestDeviceSelectPath:
         assert got["masks"].shape[0] > 0
 
 
+def _tiny_select_kwargs(sam_params, predictor):
+    return dict(
+        iou_threshold=sam_params.iou_threshold,
+        stability_threshold=sam_params.stability_threshold,
+        nms_enabled=sam_params.nms,
+        box_nms_thresh=sam_params.box_nms_thresh,
+        filter_by_box_size=sam_params.filter_by_box_size,
+        out_size=predictor.target_length,
+    )
+
+
+def _make_select_fns(tiny_predictor, two_phase: bool):
+    """mask_generation predict_fn with select_round; optionally the
+    two-phase dispatch/finish protocol that enables the deferred path."""
+
+    def _xy(img, kps_norm):
+        tiny_predictor.set_image(img)
+        h2, w2 = tiny_predictor._input_hw
+        dims = np.asarray([h2, w2], np.float32)
+        rc = 0.5 * (dims - 1) * (np.asarray(kps_norm) + 1)
+        return np.round(rc[:, ::-1])
+
+    def predict_fn(img, kps_norm):
+        raise AssertionError("select_round should bypass this")
+
+    def select_round(img, kps_norm, sam_params):
+        return tiny_predictor.predict_points_select(
+            _xy(img, kps_norm), chunk=4,
+            **_tiny_select_kwargs(sam_params, tiny_predictor),
+        )
+
+    if two_phase:
+        def dispatch(img, kps_norm, sam_params):
+            return tiny_predictor.select_dispatch(
+                _xy(img, kps_norm),
+                iou_threshold=sam_params.iou_threshold,
+                stability_threshold=sam_params.stability_threshold,
+                out_size=tiny_predictor.target_length, chunk=4,
+            )
+
+        def finish(handle, sam_params, defer_masks=False):
+            return tiny_predictor.select_finish(
+                handle, nms_enabled=sam_params.nms,
+                box_nms_thresh=sam_params.box_nms_thresh,
+                filter_by_box_size=sam_params.filter_by_box_size,
+                defer_masks=defer_masks,
+            )
+
+        select_round.dispatch = dispatch
+        select_round.finish = finish
+    predict_fn.select_round = select_round
+    return predict_fn
+
+
+class TestDeferredMasks:
+    def test_deferred_products_match_eager(self, tiny_predictor):
+        """defer_masks=True must reproduce the eager selection exactly:
+        host fetch, device coverage, device nearest-resize (vs the cv2
+        resize the legacy BiNI path uses), and box-derived resized bbox
+        sizes (vs pixel-true bboxes)."""
+        from super_primitive_tpu.frontend.process_frame import _nn_resize
+        from super_primitive_tpu.integrate.bini import segment_bbox_sizes
+
+        r = np.random.default_rng(11)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+        tiny_predictor.set_image(image)
+        pts = (r.random((9, 2)) * np.asarray([60.0, 44.0])).round()
+        out = tiny_predictor.target_length
+
+        eager = tiny_predictor.predict_points_select(
+            pts, stability_threshold=0.0, out_size=out, chunk=4
+        )
+        h = tiny_predictor.select_dispatch(
+            pts, iou_threshold=0.0, stability_threshold=0.0,
+            out_size=out, chunk=4,
+        )
+        got = tiny_predictor.select_finish(h, defer_masks=True)
+        d = got.pop("deferred")
+        assert got["masks"] is None
+        np.testing.assert_array_equal(got["keypoints_ids"], eager["keypoints_ids"])
+        np.testing.assert_array_equal(d.coverage(), eager["masks"].any(axis=0))
+        np.testing.assert_array_equal(d.fetch(), eager["masks"])
+
+        # device nearest-resize == cv2 INTER_NEAREST, several up-shapes
+        for Hg, Wg in ((d.hs, d.ws), (53, 71), (96, 128)):
+            rows = np.arange(d.n_rows)
+            dev = np.asarray(d.device_masks_resized(rows, d.n_rows + 3, Hg, Wg))
+            host = _nn_resize(eager["masks"], (Hg, Wg)).astype(bool)
+            np.testing.assert_array_equal(dev[: d.n_rows], host)
+            assert not dev[d.n_rows:].any()  # bucket padding zeroed
+
+            hs_r, ws_r = d.resized_bbox_sizes(Hg, Wg)
+            hs_t, ws_t = segment_bbox_sizes(host)
+            np.testing.assert_array_equal(hs_r, hs_t)
+            np.testing.assert_array_equal(ws_r, ws_t)
+
+        # subset gather (crop/full routing order)
+        idx = np.arange(0, d.n_rows, 2)
+        if idx.size:
+            sub = np.asarray(d.device_masks_resized(idx, idx.size, 53, 71))
+            host = _nn_resize(eager["masks"][idx], (53, 71)).astype(bool)
+            np.testing.assert_array_equal(sub, host)
+
+    def test_infer_masks_deferred_matches_legacy(self, tiny_predictor):
+        """The deferred two-phase flow through infer_masks must produce the
+        identical generation output (identical coverage -> identical active
+        resampling draws -> identical rounds)."""
+        cfg = load_config({"sam_params": {
+            "stability_threshold": 0.0, "filter_edge_points": False,
+        }})
+        r = np.random.default_rng(12)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+
+        outs = []
+        for two_phase in (False, True):
+            pf = _make_select_fns(tiny_predictor, two_phase)
+            outs.append(infer_masks(
+                pf, image, cfg.sam_params, num_pts=6, num_pts_active=3,
+                rng=np.random.default_rng(2),
+            ))
+        a, b = outs
+        np.testing.assert_array_equal(a["masks"], b["masks"])
+        np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+        np.testing.assert_array_equal(a["src_round"], b["src_round"])
+        np.testing.assert_array_equal(a["src_idx"], b["src_idx"])
+        np.testing.assert_allclose(a["edges"], b["edges"], atol=0)
+        np.testing.assert_array_equal(a["final_coverage"], b["final_coverage"])
+
+    def test_frontprocessor_deferred_exact_keyframe(self, tiny_predictor):
+        """FrontProcessor with the two-phase protocol (deferred masks +
+        device-side BiNI mask resize + overlap) produces EXACTLY the
+        legacy-path keyframe."""
+        import jax.numpy as jnp
+
+        from super_primitive_tpu.frontend.process_frame import FrontProcessor
+
+        cfg = load_config({
+            "frontend": {
+                "downsample_pow": 1,
+                "normals": {"integration_shape": [51, 64],
+                            "network_dim": [96, 128]},
+                "cg_max_iter": 100, "cg_tol": 1e-4,
+                "check_for_depth_disc": False,
+            },
+            "sam_params": {
+                "infer_resolution": [48, 60],
+                "stability_threshold": 0.0,
+                "filter_edge_points": False,
+            },
+        })
+
+        def normals_fn(img01):
+            n = np.zeros((51, 64, 3), np.float32)
+            n[..., 2] = -1.0
+            n[..., 0] = 0.05
+            n /= np.linalg.norm(n, axis=-1, keepdims=True)
+            return jnp.asarray(n), np.ones((51, 64, 1), np.float32)
+
+        image = (np.random.default_rng(0).uniform(0, 255, (96, 120, 3))).astype(np.uint8)
+        K = np.array([[100.0, 0, 60], [0, 100.0, 48], [0, 0, 1.0]])
+
+        kfs = []
+        for two_phase in (True, False):
+            pf = _make_select_fns(tiny_predictor, two_phase)
+            fp = FrontProcessor(cfg, normals_fn, pf,
+                                rng=np.random.default_rng(7))
+            kfs.append(fp.process_to_kf(image, K))
+        a, b = kfs
+        np.testing.assert_array_equal(a["regions"], b["regions"])
+        np.testing.assert_array_equal(a["keypoints_rc"], b["keypoints_rc"])
+        np.testing.assert_allclose(
+            a["logdepth_perseg"], b["logdepth_perseg"], atol=1e-6
+        )
+
+
 class TestPhaseUpsampleCounts:
     def test_exact_vs_materialized_resize(self):
         """Phase-decomposed stability/area counting must equal counting on
