@@ -16,6 +16,7 @@ setup_new_front_processor (frontend/process_frame.py:19-23).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Protocol
 
@@ -590,6 +591,11 @@ class Odometry:
         if diff > self.config.kf.translation_thresh:
             is_kf = True
             print(f"new kf: large pose diff {diff:.3f}")
+        if os.environ.get("SP_DEBUG_GATING"):
+            print(
+                f"[gate] {timestamp} validity={validity_ratio:.3f} "
+                f"diff={diff:.4f} scale={scale:.4f}", flush=True,
+            )
         return is_kf, scale
 
     # -------------------------------------------------- checkpoint / resume
