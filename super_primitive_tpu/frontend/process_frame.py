@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,51 @@ def _pad_bucket(m: np.ndarray, bucket: int):
     out = np.zeros((cap,) + m.shape[1:], m.dtype)
     out[:n] = m
     return out, n
+
+
+def _integration_leaves(handle: dict) -> list:
+    """Device arrays of a ``_dispatch_integration`` handle, in the order
+    ``_composite_integration`` consumes them — so callers can fetch several
+    handles (plus unrelated arrays) in one batched ``jax.device_get``."""
+    leaves = []
+    if "crop_out" in handle:
+        leaves += list(handle["crop_out"])  # zt_c, r0, c0
+    if "full_out" in handle:
+        leaves.append(handle["full_out"])
+    return leaves
+
+
+def _composite_integration(handle: dict, leaves_np: list) -> np.ndarray:
+    """Composite prefetched solve outputs (``_integration_leaves`` order,
+    already on host) into per-segment depth fields (N, H, W): exp of the
+    log-depth inside the mask, zero outside (process_frame.py:231-236)."""
+    if "deferred" in handle and "masks" not in handle:
+        # host compositing masks: the deferred fetch is cached (already
+        # materialized by infer_masks during round 2), so this is a
+        # resize, not a transfer
+        handle["masks"] = _nn_resize(
+            handle["deferred"].fetch().astype(np.uint8), handle["geo"]
+        ).astype(bool)
+    masks = handle["masks"]
+    fits = handle["fits"]
+    N, H, W = masks.shape
+    depth = np.zeros((N, H, W), np.float32)
+
+    pos = 0
+    if "crop_out" in handle:
+        zt_c, r0, c0 = leaves_np[pos : pos + 3]
+        pos += 3
+        n = handle["n_small"]
+        zt_c, r0, c0 = zt_c[:n], r0[:n], c0[:n]
+        ch, cw = zt_c.shape[1:]
+        for j, i in enumerate(np.nonzero(fits)[0]):
+            rr, cc = int(r0[j]), int(c0[j])
+            win = masks[i, rr : rr + ch, cc : cc + cw]
+            depth[i, rr : rr + ch, cc : cc + cw] = np.exp(zt_c[j]) * win
+    if "full_out" in handle:
+        zt = leaves_np[pos][: handle["n_big"]]
+        depth[~fits] = np.exp(zt) * masks[~fits]
+    return depth
 
 
 def scale_K(K: np.ndarray, scale_h: float, scale_w: float) -> np.ndarray:
@@ -188,14 +234,27 @@ class FrontProcessor:
                 if is_r2.any():
                     mc2 = _nn_resize(masks[is_r2], (Hg, Wg)).astype(bool)
                     h2 = self._dispatch_integration(normals_dev, mc2, K_j, bini_cfg)
-                if r1_handle and r1_handle[0] is not None:
-                    d1 = self._fetch_integration(r1_handle[0])
-                    is_r1 = gen["src_round"] == 0
-                    depth_perseg[is_r1] = d1[gen["src_idx"][is_r1]]
-                if h2 is not None:
-                    depth_perseg[is_r2] = self._fetch_integration(h2)
+                # ONE batched fetch for both rounds' solve outputs AND the
+                # normals field: device_get schedules every copy before
+                # blocking, so this costs ~one relay RTT instead of the 4-6
+                # sequential np.asarray round-trips (~25 ms each) it replaces
+                h1 = r1_handle[0] if r1_handle else None
+                handles = [h for h in (h1, h2) if h is not None]
+                leaves = [_integration_leaves(h) for h in handles]
+                flat = [a for ls in leaves for a in ls]
+                fetched = jax.device_get(flat + [normals_dev])
+                normals = fetched[-1]
+                pos = 0
+                for h, ls in zip(handles, leaves):
+                    d = _composite_integration(h, fetched[pos : pos + len(ls)])
+                    pos += len(ls)
+                    if h is h1:
+                        is_r1 = gen["src_round"] == 0
+                        depth_perseg[is_r1] = d[gen["src_idx"][is_r1]]
+                    else:
+                        depth_perseg[is_r2] = d
             with self._stage("normals_fetch"):
-                normals = np.asarray(normals_dev)
+                normals = np.asarray(normals)
         else:
             masks_coarse = _nn_resize(masks, (Hg, Wg)).astype(bool)
             # normals fetch (overlapped with the SAM rounds above) + NN resize
@@ -323,34 +382,10 @@ class FrontProcessor:
     def _fetch_integration(self, handle: dict) -> np.ndarray:
         """Materialize a :meth:`_dispatch_integration` handle into per-segment
         depth fields (N, H, W): exp of the log-depth inside the mask, zero
-        outside (process_frame.py:231-236 semantics)."""
-        if "deferred" in handle and "masks" not in handle:
-            # host compositing masks: the deferred fetch is cached (already
-            # materialized by infer_masks during round 2), so this is a
-            # resize, not a transfer
-            handle["masks"] = _nn_resize(
-                handle["deferred"].fetch().astype(np.uint8), handle["geo"]
-            ).astype(bool)
-        masks = handle["masks"]
-        fits = handle["fits"]
-        N, H, W = masks.shape
-        depth = np.zeros((N, H, W), np.float32)
-
-        if "crop_out" in handle:
-            zt_c, r0, c0 = handle["crop_out"]
-            n = handle["n_small"]
-            zt_c = np.asarray(zt_c)[:n]
-            r0 = np.asarray(r0)[:n]
-            c0 = np.asarray(c0)[:n]
-            ch, cw = zt_c.shape[1:]
-            for j, i in enumerate(np.nonzero(fits)[0]):
-                rr, cc = int(r0[j]), int(c0[j])
-                win = masks[i, rr : rr + ch, cc : cc + cw]
-                depth[i, rr : rr + ch, cc : cc + cw] = np.exp(zt_c[j]) * win
-        if "full_out" in handle:
-            zt = np.asarray(handle["full_out"])[: handle["n_big"]]
-            depth[~fits] = np.exp(zt) * masks[~fits]
-        return depth
+        outside (process_frame.py:231-236 semantics).  All device leaves come
+        back in one batched ``device_get`` (one relay round-trip)."""
+        leaves = _integration_leaves(handle)
+        return _composite_integration(handle, jax.device_get(leaves))
 
     def process_to_supp_kf(self, image, K) -> dict:
         image = np.asarray(image)
