@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the container sitecustomize "
                          "pins the axon TPU; env vars alone don't switch)")
+    ap.add_argument("--path", choices=("auto", "linear", "orbit"),
+                    default="auto",
+                    help="camera trajectory: 'linear' (constant twist; "
+                         "degenerates past ~60 frames as the camera closes "
+                         "on the floor panel) or 'orbit' (bounded wander, "
+                         "valid for any length).  auto = orbit when "
+                         "--frames > 40")
     ap.add_argument("--restore-split", type=int, default=0,
                     help="N > 0: run to frame N, save_state, resume a FRESH "
                          "Odometry from the checkpoint and finish the "
@@ -109,7 +116,11 @@ def main():
             "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.08},
         })
 
-    ds = PlanesSequence(n_frames=args.frames, H=H, W=W)
+    path = args.path
+    if path == "auto":
+        path = "orbit" if args.frames > 40 else "linear"
+    ds = PlanesSequence(n_frames=args.frames, H=H, W=W, path=path)
+    print(f"[e2e] trajectory path: {path}")
 
     def run_one(solver):
         cfg = make_cfg(solver)

@@ -137,7 +137,7 @@ class PlanesSequence:
 
     def __init__(self, n_frames: int = 20, H: int = 240, W: int = 320,
                  f: float | None = None, step: float = 0.02,
-                 scene: PlanesScene | None = None):
+                 scene: PlanesScene | None = None, path: str = "linear"):
         from ..lie import se3
         import jax.numpy as jnp
 
@@ -147,11 +147,29 @@ class PlanesSequence:
         self.scene = scene if scene is not None else PlanesScene()
         self.poses = []
         for k in range(n_frames):
-            xi = np.asarray(
-                [0.003 * k, -0.002 * k, 0.0025 * k,
-                 step * k, 0.6 * step * k, -0.35 * step * k],
-                np.float32,
-            )
+            if path == "linear":
+                # constant twist: fine up to ~40 frames, but the +y drift
+                # (0.6*step*k) closes on the floor panel (offset 0.95) near
+                # frame ~65 and views degenerate — use "orbit" for longer runs
+                xi = np.asarray(
+                    [0.003 * k, -0.002 * k, 0.0025 * k,
+                     step * k, 0.6 * step * k, -0.35 * step * k],
+                    np.float32,
+                )
+            elif path == "orbit":
+                # bounded wander: sinusoids with incommensurate periods keep
+                # the camera inside the room interior (|t| <= ~0.5, floor
+                # clearance > 0.7) for ANY sequence length, with per-frame
+                # motion comparable to the linear path (~0.03/frame) — the
+                # handheld-sequence analogue for 100+ frame robustness runs
+                s = lambda A, P: A * np.sin(2 * np.pi * k / P)
+                xi = np.asarray(
+                    [s(0.08, 109), s(-0.06, 97), s(0.07, 103),
+                     s(0.35, 101), s(0.22, 113), s(-0.28, 127)],
+                    np.float32,
+                )
+            else:
+                raise ValueError(f"unknown path {path!r}")
             self.poses.append(np.asarray(se3.exp(jnp.asarray(xi)), np.float64))
         self._cache: dict[int, dict] = {}
 
