@@ -157,6 +157,11 @@ class FrontProcessor:
         sam_img = cv2.resize(
             image, (sam_hw[1], sam_hw[0]), interpolation=cv2.INTER_LINEAR
         )
+        preload = getattr(self.mask_predict_fn, "preload", None)
+        if preload is not None:
+            # async upload of the (resized) SAM frame while NNET runs on
+            # device; set_image inside the first prompt round consumes it
+            preload(sam_img)
         sam_params = self.config.sam_params
         if loose:
             # depth-completion fallback (segment_based_completion.py:33-35)
@@ -490,4 +495,8 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
     select_round.dispatch = _select_dispatch
     select_round.finish = _select_finish
     mask_predict_fn.select_round = select_round
+    # upload overlap: the frontend preloads the SAM frame right after the
+    # NNET dispatch so the ~2.4 MB relay transfer rides NNET's device time
+    # instead of sitting serially in front of the encoder dispatch
+    mask_predict_fn.preload = predictor.preload_image
     return FrontProcessor(config, normals_fn, mask_predict_fn)

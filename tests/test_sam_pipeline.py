@@ -50,6 +50,26 @@ class TestSamPredictorPipeline:
         assert iou.shape == (3, 3)
         assert np.all(np.isfinite(np.asarray(masks)))
 
+    def test_preload_image_matches_direct(self, tiny_predictor):
+        """preload_image (async upload) + set_image == plain set_image, and
+        the preload cache is single-use / identity-keyed."""
+        r = np.random.default_rng(7)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+        tiny_predictor._last_image = None
+        tiny_predictor._preload = None
+        tiny_predictor.set_image(image)
+        ref = np.asarray(tiny_predictor._features)
+        img2 = image.copy()
+        tiny_predictor.preload_image(img2)
+        assert tiny_predictor._preload is not None
+        tiny_predictor.set_image(img2)
+        assert tiny_predictor._preload is None  # consumed
+        np.testing.assert_array_equal(np.asarray(tiny_predictor._features), ref)
+        assert tiny_predictor._input_hw == (51, 64)
+        # preloading the already-set image is a no-op
+        tiny_predictor.preload_image(img2)
+        assert tiny_predictor._preload is None
+
     def test_through_mask_generation(self, tiny_predictor):
         r = np.random.default_rng(1)
         image = r.integers(0, 255, (48, 60, 3), np.uint8)
