@@ -447,12 +447,12 @@ def bench_bini_realistic(jax, jnp):
     import numpy as np
 
     from super_primitive_tpu.config import load_config
-    from super_primitive_tpu.frontend.fakes import FakeSamBlobs
+    from super_primitive_tpu.frontend.fakes import FakeSAM
     from super_primitive_tpu.frontend.process_frame import FrontProcessor
     from super_primitive_tpu.integrate.bini import BiniConfig
 
     Hg, Wg = 240, 320
-    blobs = FakeSamBlobs(n_cells=304, seed=0)
+    blobs = FakeSAM(n_cells=304, seed=0)
     _labels, _small, mid, _big = blobs._cells(Hg, Wg)
     masks = mid  # compact blob masks, near-full coverage
     r = np.random.default_rng(1)

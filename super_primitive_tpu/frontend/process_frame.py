@@ -48,6 +48,22 @@ def _nn_resize(x: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     ).astype(x.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _gather_unpack_masks(packed_dev, idx, W: int):
+    """Gather segment rows from a bit-packed (N, H, ceil(W/8)) uint8 mask
+    stack and unpack to (len(idx), H, W) bool — all on device.  Lets the
+    BiNI dispatch upload the keyframe's masks ONCE at 1/8 the bytes instead
+    of one full-res bool stack per crop bucket (the mask upload was the
+    dominant cost of the non-deferred dispatch at ~300 segments)."""
+    rows = packed_dev[idx]
+    bits = (rows[..., None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+    full = bits.reshape(rows.shape[0], rows.shape[1], -1)
+    return full[..., :W].astype(bool)
+
+
 def _pad_bucket(m: np.ndarray, bucket: int):
     """Pad a leading segment axis up to the next multiple of ``bucket`` so
     the jitted BiNI solvers compile once per bucket, not per keyframe."""
@@ -60,13 +76,23 @@ def _pad_bucket(m: np.ndarray, bucket: int):
     return out, n
 
 
+# Crop-size buckets for the per-segment BiNI solve, smallest first: each
+# segment routes to the smallest window its bbox fits (else the full field).
+# Most SAM segments at integration resolution have ~20-30 px bboxes (median
+# 27 at 304 segments / 240x320), so the 32/64 buckets carry nearly all of
+# them at 4-16x fewer solve pixels AND 4-16x fewer fetched bytes than a
+# single 128 window — the crop fetch is the dominant relay cost of a
+# ~300-segment keyframe.
+CROP_BUCKETS = (32, 64, 128)
+
+
 def _integration_leaves(handle: dict) -> list:
     """Device arrays of a ``_dispatch_integration`` handle, in the order
     ``_composite_integration`` consumes them — so callers can fetch several
     handles (plus unrelated arrays) in one batched ``jax.device_get``."""
     leaves = []
-    if "crop_out" in handle:
-        leaves += list(handle["crop_out"])  # zt_c, r0, c0
+    for b in handle.get("buckets", ()):
+        leaves += list(b["out"])  # zt_c, r0, c0
     if "full_out" in handle:
         leaves.append(handle["full_out"])
     return leaves
@@ -84,24 +110,24 @@ def _composite_integration(handle: dict, leaves_np: list) -> np.ndarray:
             handle["deferred"].fetch().astype(np.uint8), handle["geo"]
         ).astype(bool)
     masks = handle["masks"]
-    fits = handle["fits"]
     N, H, W = masks.shape
     depth = np.zeros((N, H, W), np.float32)
 
     pos = 0
-    if "crop_out" in handle:
+    for b in handle.get("buckets", ()):
         zt_c, r0, c0 = leaves_np[pos : pos + 3]
         pos += 3
-        n = handle["n_small"]
+        n = b["n"]
         zt_c, r0, c0 = zt_c[:n], r0[:n], c0[:n]
         ch, cw = zt_c.shape[1:]
-        for j, i in enumerate(np.nonzero(fits)[0]):
+        for j, i in enumerate(b["idx"]):
             rr, cc = int(r0[j]), int(c0[j])
             win = masks[i, rr : rr + ch, cc : cc + cw]
             depth[i, rr : rr + ch, cc : cc + cw] = np.exp(zt_c[j]) * win
     if "full_out" in handle:
         zt = leaves_np[pos][: handle["n_big"]]
-        depth[~fits] = np.exp(zt) * masks[~fits]
+        for j, i in enumerate(handle["big_idx"]):
+            depth[i] = np.exp(zt[j]) * masks[i]
     return depth
 
 
@@ -320,68 +346,101 @@ class FrontProcessor:
         }
 
     def _dispatch_integration(
-        self, normals_dev, masks, K_j, bini_cfg, crop: int = 128
+        self, normals_dev, masks, K_j, bini_cfg, crop: int | None = None
     ) -> dict:
         """Host-side crop/full routing + bucket padding for BiNI; enqueues
         the device work and returns a handle — results cross the relay only
         at :meth:`_fetch_integration` (crop-sized, ~(HW/crop^2)x fewer bytes
-        than full fields)."""
+        than full fields).
+
+        Each segment takes the smallest :data:`CROP_BUCKETS` window its bbox
+        fits (the crop solve is exact whenever the bbox fits); oversized
+        segments fall through to the full-field solver.  ``crop`` forces a
+        single bucket (tests)."""
         from ..integrate.bini import (
             integrate_normals,
             integrate_normals_cropped,
             segment_bbox_sizes,
         )
 
+        crops = CROP_BUCKETS if crop is None else (crop,)
+        masks = np.asarray(masks, bool)
         hs, ws = segment_bbox_sizes(masks)
-        fits = (hs <= crop) & (ws <= crop)
-        handle = {"masks": masks, "fits": fits, "crop": crop}
+        ext = np.maximum(hs, ws)
+        assigned = np.zeros(masks.shape[0], bool)
+        handle = {"masks": masks, "buckets": []}
 
-        if fits.any():
-            m_small, n_small = _pad_bucket(masks[fits], 32)
-            handle["crop_out"] = integrate_normals_cropped(
-                normals_dev, jnp.asarray(m_small), K_j, bini_cfg, crop,
-                return_crops=True,
-            )
-            handle["n_small"] = n_small
-        if (~fits).any():
-            m_big, n_big = _pad_bucket(masks[~fits], 8)
-            handle["full_out"] = integrate_normals(
-                normals_dev, jnp.asarray(m_big), K_j, bini_cfg
-            )
-            handle["n_big"] = n_big
+        # ONE bit-packed upload serves every bucket (1/8 the bytes of a bool
+        # stack); per-bucket row gathers + unpack happen on device
+        packed, n_rows = _pad_bucket(np.packbits(masks, axis=-1), 32)
+        packed_dev = jnp.asarray(packed)
+        W = masks.shape[2]
+        # padded idx slots point at a zero-padding row when one exists, so
+        # they solve an empty mask (cheap) instead of duplicating segment 0
+        fill = packed.shape[0] - 1 if packed.shape[0] > n_rows else 0
+
+        def pad_idx(idx, bucket):
+            cap = max(bucket, int(np.ceil(idx.size / bucket) * bucket))
+            out = np.full(cap, fill, np.int32)
+            out[: idx.size] = idx
+            return out
+
+        for c in sorted(crops):
+            sel = (~assigned) & (ext <= c)
+            if sel.any():
+                idx = np.nonzero(sel)[0]
+                m_b = _gather_unpack_masks(packed_dev, jnp.asarray(pad_idx(idx, 32)), W)
+                out = integrate_normals_cropped(
+                    normals_dev, m_b, K_j, bini_cfg, c, return_crops=True
+                )
+                handle["buckets"].append({"out": out, "n": idx.size, "idx": idx})
+                assigned |= sel
+        if (~assigned).any():
+            idx_b = np.nonzero(~assigned)[0]
+            m_big = _gather_unpack_masks(packed_dev, jnp.asarray(pad_idx(idx_b, 8)), W)
+            handle["full_out"] = integrate_normals(normals_dev, m_big, K_j, bini_cfg)
+            handle["n_big"] = idx_b.size
+            handle["big_idx"] = idx_b
         return handle
 
     def _dispatch_integration_deferred(
-        self, normals_dev, deferred, K_j, bini_cfg, geo_hw, crop: int = 128
+        self, normals_dev, deferred, K_j, bini_cfg, geo_hw, crop: int | None = None
     ) -> dict:
         """BiNI dispatch straight from device-resident SAM survivor masks
         (nets.sam.predictor.DeferredMasks): crop/full routing comes from the
         selection boxes (exact for up-resizes), the integration-resolution
         masks are gathered/unpacked/nearest-resized on device — no mask
-        bytes cross the relay before the solve."""
+        bytes cross the relay before the solve.  Same smallest-fitting
+        :data:`CROP_BUCKETS` routing as :meth:`_dispatch_integration`."""
         import numpy as np
 
         from ..integrate.bini import integrate_normals, integrate_normals_cropped
 
+        crops = CROP_BUCKETS if crop is None else (crop,)
         Hg, Wg = geo_hw
         hs_r, ws_r = deferred.resized_bbox_sizes(Hg, Wg)
-        fits = (hs_r <= crop) & (ws_r <= crop)
-        handle = {"deferred": deferred, "fits": fits, "crop": crop, "geo": geo_hw}
+        ext = np.maximum(hs_r, ws_r)
+        assigned = np.zeros(len(ext), bool)
+        handle = {"deferred": deferred, "geo": geo_hw, "buckets": []}
 
-        if fits.any():
-            idx = np.nonzero(fits)[0]
-            cap = max(32, int(np.ceil(idx.size / 32) * 32))
-            m_small = deferred.device_masks_resized(idx, cap, Hg, Wg)
-            handle["crop_out"] = integrate_normals_cropped(
-                normals_dev, m_small, K_j, bini_cfg, crop, return_crops=True
-            )
-            handle["n_small"] = idx.size
-        if (~fits).any():
-            idx_b = np.nonzero(~fits)[0]
+        for c in sorted(crops):
+            sel = (~assigned) & (ext <= c)
+            if sel.any():
+                idx = np.nonzero(sel)[0]
+                cap = max(32, int(np.ceil(idx.size / 32) * 32))
+                m_b = deferred.device_masks_resized(idx, cap, Hg, Wg)
+                out = integrate_normals_cropped(
+                    normals_dev, m_b, K_j, bini_cfg, c, return_crops=True
+                )
+                handle["buckets"].append({"out": out, "n": idx.size, "idx": idx})
+                assigned |= sel
+        if (~assigned).any():
+            idx_b = np.nonzero(~assigned)[0]
             cap = max(8, int(np.ceil(idx_b.size / 8) * 8))
             m_big = deferred.device_masks_resized(idx_b, cap, Hg, Wg)
             handle["full_out"] = integrate_normals(normals_dev, m_big, K_j, bini_cfg)
             handle["n_big"] = idx_b.size
+            handle["big_idx"] = idx_b
         return handle
 
     def _fetch_integration(self, handle: dict) -> np.ndarray:

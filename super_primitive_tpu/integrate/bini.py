@@ -383,17 +383,23 @@ def integrate_normals_cropped(
 
 
 def segment_bbox_sizes(masks_np):
-    """Host-side bbox extents (h, w) per segment for crop/full routing."""
+    """Host-side bbox extents (h, w) per segment for crop/full routing.
+
+    Vectorized: two (N, H, W) ``any`` reductions + argmax scans instead of a
+    per-segment ``np.nonzero`` loop (which cost ~90 ms at 304 segments)."""
     import numpy as np
 
-    N = masks_np.shape[0]
-    hs = np.zeros(N, np.int64)
-    ws = np.zeros(N, np.int64)
-    for i in range(N):
-        rr, cc = np.nonzero(masks_np[i])
-        if rr.size:
-            hs[i] = rr.max() - rr.min() + 1
-            ws[i] = cc.max() - cc.min() + 1
+    masks_np = np.asarray(masks_np, bool)
+    _, H, W = masks_np.shape
+    any_r = masks_np.any(axis=2)                       # (N, H)
+    any_c = masks_np.any(axis=1)                       # (N, W)
+    nonempty = any_r.any(axis=1)
+    top = any_r.argmax(axis=1)
+    bottom = H - 1 - any_r[:, ::-1].argmax(axis=1)
+    left = any_c.argmax(axis=1)
+    right = W - 1 - any_c[:, ::-1].argmax(axis=1)
+    hs = np.where(nonempty, bottom - top + 1, 0).astype(np.int64)
+    ws = np.where(nonempty, right - left + 1, 0).astype(np.int64)
     return hs, ws
 
 
