@@ -375,11 +375,12 @@ def infer_masks(
             h1 = sr.dispatch(image, keypoints, sam_params)
             sel = sr.finish(h1, sam_params, defer_masks=True)
             deferred = sel.pop("deferred")
+            cov_pre = sel.pop("coverage", None)  # device-NMS dispatch chain
             kps_f = keypoints[sel["keypoints_ids"]]
         n1 = deferred.n_rows
         if n1:
             H, W = deferred.hs, deferred.ws  # mask working resolution
-            coverage = deferred.coverage()
+            coverage = cov_pre if cov_pre is not None else deferred.coverage()
         else:
             coverage = np.zeros((H, W), bool)
         if on_round1 is not None:

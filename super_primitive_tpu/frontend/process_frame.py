@@ -538,6 +538,9 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
             iou_threshold=sam_params.iou_threshold,
             stability_threshold=sam_params.stability_threshold,
             out_size=256,
+            nms_enabled=sam_params.nms,
+            box_nms_thresh=sam_params.box_nms_thresh,
+            filter_by_box_size=sam_params.filter_by_box_size,
         )
 
     def _select_finish(handle, sam_params, defer_masks=False):

@@ -91,6 +91,52 @@ def _packbits_lastaxis(masks: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _select_nms_device(packed, iou_pick, kp_valid, boxes, n_valid,
+                       nms_thr, by_size):
+    """Greedy box NMS + survivor coverage ON DEVICE (chained after
+    ``_decode_select`` so the host's select_finish needs ONE sync instead of
+    scalars-fetch -> host NMS -> gather -> coverage-fetch).
+
+    Exactly ``frontend.mask_generation.nms`` (torchvision semantics —
+    descending score, stable ties, suppress IoU > thr) restricted to the
+    first ``n_valid`` rows with ``kp_valid`` set: scores are 1/max(box
+    area, 1e-9) when ``by_size`` else the picked IoU prediction, all in f32
+    from the same boxes, so host-side stable re-sorting of the kept flags
+    reproduces the reference's keep ORDER bit-for-bit (asserted in
+    tests/test_sam_pipeline.py).  Returns (kept (C,) bool, coverage
+    (S, S//8) packed-uint8 OR of the kept masks).
+    """
+    C = boxes.shape[0]
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    scores = jnp.where(by_size, 1.0 / jnp.maximum(area, 1e-9), iou_pick)
+    valid = kp_valid & (jnp.arange(C) < n_valid)  # pad prompts never compete
+    scores = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-scores, stable=True)
+    tl = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    br = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    inter = jnp.prod(jnp.clip(br - tl, 0, None), axis=-1)
+    ious = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+
+    def body(t, st):
+        kept, sup = st
+        i = order[t]
+        ok = (~sup[i]) & valid[i]
+        kept = kept.at[i].set(ok)
+        sup = jnp.where(ok, sup | (ious[i] > nms_thr), sup)
+        sup = sup.at[i].set(True)
+        return kept, sup
+
+    kept, _ = jax.lax.fori_loop(
+        0, C, body, (jnp.zeros(C, bool), jnp.zeros(C, bool))
+    )
+    cov = jax.lax.reduce(
+        jnp.where(kept[:, None, None], packed, jnp.uint8(0)),
+        jnp.uint8(0), jax.lax.bitwise_or, (0,),
+    )
+    return kept, cov
+
+
+@jax.jit
 def _or_packed_rows(packed_rows: jax.Array, nrows: jax.Array) -> jax.Array:
     """Bitwise-OR of the first ``nrows`` rows of (cap, S, S8) packed masks —
     the device side of coverage: survivors OR-reduce to one packed (S, S8)
@@ -639,6 +685,8 @@ class SamPredictor:
         handle = self.select_dispatch(
             points_input_frame, iou_threshold, stability_threshold,
             out_size=out_size, chunk=chunk,
+            nms_enabled=nms_enabled, box_nms_thresh=box_nms_thresh,
+            filter_by_box_size=filter_by_box_size,
         )
         return self.select_finish(
             handle, nms_enabled=nms_enabled, box_nms_thresh=box_nms_thresh,
@@ -652,6 +700,9 @@ class SamPredictor:
         stability_threshold: float,
         out_size: int = 256,
         chunk: Optional[int] = None,
+        nms_enabled: bool = False,
+        box_nms_thresh: float = 0.8,
+        filter_by_box_size: bool = True,
     ) -> dict:
         """Enqueue the decode+select dispatches for one prompt round and
         return a handle — no host synchronization happens here, so a caller
@@ -693,7 +744,19 @@ class SamPredictor:
                     out_size, iou_thr, stab_thr,
                 ))
             )
-        return {"pending": pending, "hs": hs, "ws": ws}
+        handle = {"pending": pending, "hs": hs, "ws": ws}
+        if nms_enabled and len(pending) == 1:
+            # chain greedy NMS + survivor coverage on device: select_finish
+            # then needs ONE batched sync (scalars + kept flags + coverage
+            # plane) instead of scalars -> host NMS -> coverage round trips.
+            # Multi-chunk dispatches (explicit small ``chunk``) keep the
+            # host-NMS path — NMS must see every box at once.
+            lo, n, (packed, iou_pick, kp_valid, boxes, pick) = pending[0]
+            handle["nms"] = _select_nms_device(
+                packed, iou_pick, kp_valid, boxes, jnp.int32(n),
+                jnp.float32(box_nms_thresh), bool(filter_by_box_size),
+            )
+        return handle
 
     def select_finish(
         self,
@@ -717,17 +780,36 @@ class SamPredictor:
         # ~one relay RTT instead of 4 sequential np.asarray round-trips
         # (~25 ms each on this container)
         packed_chunks = [(lo, n, packed) for lo, n, (packed, *_s) in pending]
+        nms_dev = handle.get("nms")
         fetched = jax.device_get(
             [(iou_pick[:n], kp_valid[:n], boxes[:n], pick[:n])
              for lo, n, (packed, iou_pick, kp_valid, boxes, pick) in pending]
+            + ([nms_dev] if nms_dev is not None else [])
         )
+        coverage_packed = None
+        if nms_dev is not None:
+            kept_dev, coverage_packed = fetched.pop()
         iou_all = np.concatenate([f[0] for f in fetched])
         valid = np.concatenate([f[1] for f in fetched])
         boxes_all = np.concatenate([f[2] for f in fetched])
         pick_all = np.concatenate([f[3] for f in fetched])
 
         kp_ids = np.nonzero(valid)[0]
-        if nms_enabled and kp_ids.size:
+        if nms_dev is not None and kp_ids.size:
+            # kept SET computed on device; reconstruct torchvision's keep
+            # ORDER (descending score, stable ties) from the same f32
+            # boxes/iou the device used — identical arithmetic, so this
+            # equals the host-NMS path's ordering exactly
+            n0 = pending[0][1]
+            boxes_v = boxes_all[kp_ids]
+            area = np.prod(boxes_v[:, 2:] - boxes_v[:, :2], axis=-1)
+            scores = (
+                (1.0 / np.maximum(area, 1e-9)).astype(np.float32)
+                if filter_by_box_size else iou_all[kp_ids]
+            )
+            order = kp_ids[np.argsort(-scores, kind="stable")]
+            sel_ids = order[kept_dev[:n0][order]]
+        elif nms_enabled and kp_ids.size:
             from ...frontend.mask_generation import nms as _nms
 
             boxes_v = boxes_all[kp_ids]
@@ -767,6 +849,12 @@ class SamPredictor:
         }
         if defer_masks:
             out["deferred"] = deferred
+            if coverage_packed is not None:
+                # survivor coverage already OR-reduced in the NMS dispatch
+                # and fetched with the scalars above — saves the separate
+                # DeferredMasks.coverage round trip (~30 ms on the relay)
+                bits = np.unpackbits(coverage_packed, axis=-1)
+                out["coverage"] = bits[:hs, :ws].astype(bool)
         return out
 
     def postprocess_masks(self, lowres_masks: jax.Array) -> jax.Array:

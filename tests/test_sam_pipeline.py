@@ -230,6 +230,46 @@ def _make_select_fns(tiny_predictor, two_phase: bool):
     return predict_fn
 
 
+class TestDeviceNms:
+    def test_device_nms_matches_host_path(self, tiny_predictor):
+        """Single-chunk dispatch chains greedy NMS + coverage on device
+        (predictor._select_nms_device); results — kept set, keep ORDER,
+        masks, and the pre-fetched coverage plane — must equal the host-NMS
+        multi-chunk path exactly, for both scoring modes."""
+        r = np.random.default_rng(13)
+        image = r.integers(0, 255, (48, 60, 3), np.uint8)
+        tiny_predictor.set_image(image)
+        pts = (r.random((9, 2)) * np.asarray([60.0, 44.0])).round()
+        out = tiny_predictor.target_length
+
+        for by_size in (True, False):
+            want = tiny_predictor.predict_points_select(
+                pts, iou_threshold=0.0, stability_threshold=0.0,
+                nms_enabled=True, box_nms_thresh=0.5,
+                filter_by_box_size=by_size, out_size=out, chunk=4,  # host NMS
+            )
+            h = tiny_predictor.select_dispatch(
+                pts, iou_threshold=0.0, stability_threshold=0.0,
+                out_size=out, nms_enabled=True, box_nms_thresh=0.5,
+                filter_by_box_size=by_size,  # chunk=None: single chunk
+            )
+            assert "nms" in h, "single-chunk dispatch should chain device NMS"
+            got = tiny_predictor.select_finish(
+                h, nms_enabled=True, box_nms_thresh=0.5,
+                filter_by_box_size=by_size, defer_masks=True,
+            )
+            d = got.pop("deferred")
+            cov = got.pop("coverage")
+            np.testing.assert_array_equal(
+                got["keypoints_ids"], want["keypoints_ids"], err_msg=f"by_size={by_size}"
+            )
+            np.testing.assert_array_equal(got["masks_ids"], want["masks_ids"])
+            np.testing.assert_array_equal(got["boxes"], want["boxes"])
+            np.testing.assert_array_equal(d.fetch(), want["masks"])
+            np.testing.assert_array_equal(cov, want["masks"].any(axis=0))
+            np.testing.assert_array_equal(cov, d.coverage())
+
+
 class TestDeferredMasks:
     def test_deferred_products_match_eager(self, tiny_predictor):
         """defer_masks=True must reproduce the eager selection exactly:
