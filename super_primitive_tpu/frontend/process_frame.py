@@ -176,7 +176,15 @@ class FrontProcessor:
         # normals wall time; BiNI consumes the normals only after masks)
         img01 = image.astype(np.float32) / 255.0
         with self._stage("normals_dispatch"):
-            normals_dev, kappa = self.normals_fn(img01)
+            # real-NNET path uploads the uint8 bytes (4x smaller relay
+            # transfer; /255 happens on device, equal up to one f32
+            # rounding) — fakes and other callables keep the float [0,1]
+            # contract
+            nin = (
+                image if getattr(self.normals_fn, "accepts_uint8", False)
+                else img01
+            )
+            normals_dev, kappa = self.normals_fn(nin)
 
         # 2. SAM masks at infer_resolution
         sam_hw = self.config.sam_params.infer_resolution
@@ -486,21 +494,25 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
 
     predictor = SamPredictor(sam_params_tree, compute_dtype=jnp.bfloat16)
 
-    def normals_fn(img01):
+    def normals_fn(img):
         # fp32: NNET is memory-layout bound at this size (47 ms device,
         # bf16 measured identical), so keep full precision.  With normals
         # consumed only at the integration shape (include_normals off),
         # the NN subsample runs on device and only ~1 MB crosses the relay
         # (identical values for the reference's integer resize ratios).
+        # Accepts uint8 (preferred: 4x smaller upload, /255 on device) or
+        # float [0,1].
         coarse = (
             None if config.frontend.include_normals
             else tuple(config.frontend.normals.integration_shape)
         )
         return predict_normals(
-            nnet_params, jnp.asarray(img01),
+            nnet_params, jnp.asarray(img),
             tuple(config.frontend.normals.network_dim),
             coarse_hw=coarse,
         )
+
+    normals_fn.accepts_uint8 = True
 
     def _to_input_xy(image_uint8, kps_norm):
         predictor.set_image(image_uint8)

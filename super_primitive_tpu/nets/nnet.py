@@ -149,6 +149,14 @@ import functools
 )
 def _predict_normals_jit(params, image_hwc01, network_dim, out_hw,
                          compute_dtype, coarse_hw=None):
+    if image_hwc01.dtype == jnp.uint8:
+        # uint8 upload path: the host->device transfer is 4x smaller than
+        # float32 (the full-res image is ~14.7 MB fp32 — ~230 ms on the
+        # relay, serialized in FRONT of the whole frontend device chain);
+        # uint8->f32 cast + /255 matches the host's
+        # image.astype(np.float32)/255.0 up to one f32 rounding (XLA
+        # lowers the division as a reciprocal multiply in the fusion)
+        image_hwc01 = image_hwc01.astype(jnp.float32) / 255.0
     x = preprocess(image_hwc01, network_dim)[None]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

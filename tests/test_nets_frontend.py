@@ -85,6 +85,27 @@ class TestNNET:
             _nn_resize(np.asarray(k_full)[..., 0], (32, 48)), atol=1e-6
         )
 
+    def test_uint8_input_matches_float(self):
+        """The uint8 upload path (device-side /255) must reproduce the
+        float [0,1] path up to one f32 rounding (XLA lowers the division
+        as a reciprocal multiply inside the fused graph: ~3e-6, far below
+        the network's own precision)."""
+        from super_primitive_tpu.nets.nnet import predict_normals
+
+        model = NNET()
+        x0 = jnp.zeros((1, 64, 96, 3))
+        params = model.init(jax.random.PRNGKey(0), x0)
+        img_u8 = np.random.default_rng(3).integers(
+            0, 255, (128, 192, 3), np.uint8
+        )
+        img01 = img_u8.astype(np.float32) / 255.0
+        n_f, k_f = predict_normals(params, jnp.asarray(img01), network_dim=(64, 96))
+        n_u, k_u = predict_normals(params, jnp.asarray(img_u8), network_dim=(64, 96))
+        np.testing.assert_allclose(np.asarray(n_u), np.asarray(n_f), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(k_u), np.asarray(k_f), rtol=1e-5, atol=1e-5
+        )
+
     def test_resize_matches_torch_align_corners(self):
         import torch
 
