@@ -112,9 +112,14 @@ class Odometry:
 
         self._kf_pyramid_cache = None  # (kf_ts, list of level images)
 
+        from ..utils.compile_watch import CompileWatch
         from ..utils.timing import StageTimer
 
         self.timer = StageTimer()
+        self.compile_watch = CompileWatch.install()
+        # frontend stages (sam rounds / bini / split) land in the same timer
+        if getattr(frontend, "timer", "absent") is None:
+            frontend.timer = self.timer
         # optional live-viz hook: callable(odom, frame_id), set by drivers
         # (run_sfm --live-viz); see viz/live.py
         self.live_cb = None
@@ -154,10 +159,15 @@ class Odometry:
     # -------------------------------------------------------- keyframe init
     def init_keyframe(self, frame: dict, pose: np.ndarray, timestamp: str):
         t0 = time.time()
+        cm = self.compile_watch.mark()
+        counts0 = dict(self.timer.counts)
         observe = getattr(self.frontend, "observe", None)
         if observe is not None:
             observe(frame)
-        kf_data = self.frontend.process_to_kf(frame["image"], frame["intrinsics"])
+        with self.timer.stage("kf_frontend"):
+            kf_data = self.frontend.process_to_kf(
+                frame["image"], frame["intrinsics"]
+            )
         regions = kf_data["regions"]
         logdepth = kf_data["logdepth_perseg"]
         keypoints_rc = kf_data["keypoints_rc"]
@@ -202,10 +212,11 @@ class Odometry:
                 # and supp refinement from frame 1
                 self.initialised = True
         else:
-            est = self.estimate_depth_latest_kf(pose)
-            kp_logdepth = depth_init.segment_based_depth_reinit(
-                est, regions, logdepth, keypoints_rc, mode="median"
-            )
+            with self.timer.stage("kf_depth_reinit"):
+                est = self.estimate_depth_latest_kf(pose)
+                kp_logdepth = depth_init.segment_based_depth_reinit(
+                    est, regions, logdepth, keypoints_rc, mode="median"
+                )
         assert np.all(np.isfinite(kp_logdepth))
 
         host_kf = window.HostKeyFrame(
@@ -217,31 +228,48 @@ class Odometry:
 
         # window roll (odometery.py:184-194)
         if self.num_kfs == self.window_size:
-            if self.config.dump_kfs:
-                self._sync_host_logdepth()
-                io.dump_kf(self.config.save_path + "/curr_kfs", self.host_kfs[0])
-            self.host_kfs.pop(0)
-            self.buffers = window.roll_window(self.buffers)
-            self.supp_valid_host = np.concatenate(
-                [self.supp_valid_host[1:], np.zeros_like(self.supp_valid_host[:1])]
-            )
-            self.num_kfs -= 1
+            with self.timer.stage("kf_roll"):
+                if self.config.dump_kfs:
+                    self._sync_host_logdepth()
+                    io.dump_kf(
+                        self.config.save_path + "/curr_kfs", self.host_kfs[0]
+                    )
+                self.host_kfs.pop(0)
+                self.buffers = window.roll_window(self.buffers)
+                self.supp_valid_host = np.concatenate(
+                    [self.supp_valid_host[1:],
+                     np.zeros_like(self.supp_valid_host[:1])]
+                )
+                self.num_kfs -= 1
 
         slot = self.num_kfs
-        bundle = build_bundle_np(regions, logdepth, capacity=self.point_cap)
-        kp_base = logdepth[np.arange(N_i), keypoints_rc[:, 0], keypoints_rc[:, 1]]
-        self.buffers = window.set_keyframe_slot(
-            self.buffers, slot, image, K, pose, kp_logdepth,
-            self.current_aff, np.asarray(bundle.uv), np.asarray(bundle.seg_id),
-            np.asarray(bundle.base_logdepth), np.asarray(bundle.valid),
-            int(bundle.num_valid), kp_base,
-        )
+        with self.timer.stage("kf_bundle"):
+            bundle = build_bundle_np(regions, logdepth, capacity=self.point_cap)
+            kp_base = logdepth[
+                np.arange(N_i), keypoints_rc[:, 0], keypoints_rc[:, 1]
+            ]
+        with self.timer.stage("kf_slot_put"):
+            self.buffers = window.set_keyframe_slot(
+                self.buffers, slot, image, K, pose, kp_logdepth,
+                self.current_aff, np.asarray(bundle.uv),
+                np.asarray(bundle.seg_id), np.asarray(bundle.base_logdepth),
+                np.asarray(bundle.valid), int(bundle.num_valid), kp_base,
+            )
         self.supp_valid_host[slot] = False
         self.host_kfs.append(host_kf)
         self.num_kfs += 1
         self.global_kf_trajectory[timestamp] = np.asarray(pose)
         self._kf_pyramid_cache = None
-        print(f"[kf] added {timestamp} (N={N_i}, {time.time()-t0:.2f}s)")
+        stages = {
+            (k[3:] if k.startswith("kf_") else k): round(1000 * v)
+            for k, v in self.timer.last.items()
+            if self.timer.counts[k] > counts0.get(k, 0)
+        }
+        print(
+            f"[kf] added {timestamp} (N={N_i}, {time.time()-t0:.2f}s; "
+            f"stages_ms={stages}; {self.compile_watch.summary_since(cm)})",
+            flush=True,
+        )
 
     # ------------------------------------------------------------ tracking
     def _kf_track_pyramid(self):
