@@ -62,12 +62,19 @@ def split_disconnected_segments(
     """
     rng = rng or np.random.default_rng(0)
     N, H, W = regions.shape
+    # pad the segment axis to a multiple of 32 so the jitted discontinuity
+    # kernel compiles once per ladder step, not once per keyframe's exact N
+    # (each fresh shape is a 2-5 s remote compile on the relay backend)
+    cap = -(-N // 32) * 32
+    ld_p = np.zeros((cap, H, W), np.float32)
+    ld_p[:N] = logdepth_perseg
+    rg_p = np.zeros((cap, H, W), bool)
+    rg_p[:N] = regions
     disc = np.asarray(
         depth_discontinuity(
-            jnp.asarray(logdepth_perseg), jnp.asarray(regions),
-            filter_size, depth_threshold,
+            jnp.asarray(ld_p), jnp.asarray(rg_p), filter_size, depth_threshold,
         )
-    )
+    )[:N]
     split_masks = regions & ~disc
     labels = label_components_chunked(split_masks)
 

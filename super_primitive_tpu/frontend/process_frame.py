@@ -64,11 +64,22 @@ def _gather_unpack_masks(packed_dev, idx, W: int):
     return full[..., :W].astype(bool)
 
 
+def _pow2_cap(n: int, base: int) -> int:
+    """Smallest ``base * 2^k`` >= n: a geometric capacity ladder bounds the
+    number of DISTINCT padded shapes (each fresh shape is a 30-60 s remote
+    compile on the relay backend; linear 32-step padding produced a new
+    shape almost every keyframe)."""
+    cap = base
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 def _pad_bucket(m: np.ndarray, bucket: int):
-    """Pad a leading segment axis up to the next multiple of ``bucket`` so
-    the jitted BiNI solvers compile once per bucket, not per keyframe."""
+    """Pad a leading segment axis up the power-of-two ladder so the jitted
+    BiNI solvers compile once per ladder step, not per keyframe."""
     n = m.shape[0]
-    cap = max(bucket, int(np.ceil(n / bucket) * bucket))
+    cap = _pow2_cap(n, bucket)
     if cap == n:
         return m, n
     out = np.zeros((cap,) + m.shape[1:], m.dtype)
@@ -379,17 +390,21 @@ class FrontProcessor:
         handle = {"masks": masks, "buckets": []}
 
         # ONE bit-packed upload serves every bucket (1/8 the bytes of a bool
-        # stack); per-bucket row gathers + unpack happen on device
-        packed, n_rows = _pad_bucket(np.packbits(masks, axis=-1), 32)
+        # stack); per-bucket row gathers + unpack happen on device.  The
+        # stack always carries >=1 zero row so padded idx slots solve an
+        # empty mask instead of re-solving segment 0 (wasted device work
+        # when the row count is an exact multiple of the pad quantum).
+        packed_rows = np.packbits(masks, axis=-1)
+        n_rows = packed_rows.shape[0]
+        cap = _pow2_cap(n_rows + 1, 32)  # >= n_rows+1: always a zero pad row
+        packed = np.zeros((cap,) + packed_rows.shape[1:], packed_rows.dtype)
+        packed[:n_rows] = packed_rows
         packed_dev = jnp.asarray(packed)
         W = masks.shape[2]
-        # padded idx slots point at a zero-padding row when one exists, so
-        # they solve an empty mask (cheap) instead of duplicating segment 0
-        fill = packed.shape[0] - 1 if packed.shape[0] > n_rows else 0
+        fill = cap - 1
 
         def pad_idx(idx, bucket):
-            cap = max(bucket, int(np.ceil(idx.size / bucket) * bucket))
-            out = np.full(cap, fill, np.int32)
+            out = np.full(_pow2_cap(idx.size, bucket), fill, np.int32)
             out[: idx.size] = idx
             return out
 
@@ -435,7 +450,7 @@ class FrontProcessor:
             sel = (~assigned) & (ext <= c)
             if sel.any():
                 idx = np.nonzero(sel)[0]
-                cap = max(32, int(np.ceil(idx.size / 32) * 32))
+                cap = _pow2_cap(idx.size, 32)
                 m_b = deferred.device_masks_resized(idx, cap, Hg, Wg)
                 out = integrate_normals_cropped(
                     normals_dev, m_b, K_j, bini_cfg, c, return_crops=True
@@ -444,7 +459,7 @@ class FrontProcessor:
                 assigned |= sel
         if (~assigned).any():
             idx_b = np.nonzero(~assigned)[0]
-            cap = max(8, int(np.ceil(idx_b.size / 8) * 8))
+            cap = _pow2_cap(idx_b.size, 8)
             m_big = deferred.device_masks_resized(idx_b, cap, Hg, Wg)
             handle["full_out"] = integrate_normals(normals_dev, m_big, K_j, bini_cfg)
             handle["n_big"] = idx_b.size

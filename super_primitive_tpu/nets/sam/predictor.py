@@ -538,6 +538,10 @@ class SamPredictor:
             dev, (h2, w2) = pre[1], pre[2]
             self._preload = None
         else:
+            # a stale preload of a DIFFERENT array must not linger: a later
+            # in-place mutation of that host array could otherwise encode
+            # stale pixels through the identity check (ADVICE r4)
+            self._preload = None
             h2, w2 = get_preprocess_shape(H, W, self.target_length)
             import cv2
 
@@ -795,11 +799,14 @@ class SamPredictor:
         pick_all = np.concatenate([f[3] for f in fetched])
 
         kp_ids = np.nonzero(valid)[0]
-        if nms_dev is not None and kp_ids.size:
+        if nms_dev is not None and nms_enabled and kp_ids.size:
             # kept SET computed on device; reconstruct torchvision's keep
             # ORDER (descending score, stable ties) from the same f32
-            # boxes/iou the device used — identical arithmetic, so this
-            # equals the host-NMS path's ordering exactly
+            # boxes/iou the device used.  NOTE: host numpy and XLA f32
+            # division are not guaranteed bitwise-identical on every
+            # backend, so near-tied 1/area scores could order differently
+            # from the host-NMS path in principle (parity tests pass on the
+            # CPU/relay backends; the result is always self-consistent).
             n0 = pending[0][1]
             boxes_v = boxes_all[kp_ids]
             area = np.prod(boxes_v[:, 2:] - boxes_v[:, :2], axis=-1)

@@ -36,12 +36,9 @@ from . import depth_init, io, kf_criteria, mapper, tracker, window
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("geo_dims",))
-def _gating_metrics(buffers, kf_slot, pose, geo_dims):
-    """One-dispatch keyframe gating (odometery.py:986-1016): render the last
-    KF's points at ``pose``, return (validity_ratio, median-depth-scaled
-    translation diff, median scale) as three scalars — avoids downloading
-    the depth map just to gate."""
+def _render_kf_depth(buffers, kf_slot, pose, geo_dims):
+    """Render KF ``kf_slot``'s points into the camera at ``pose`` (traced;
+    odometery.py:294-321 + core/depth_render.py)."""
     from ..geometry import projection
 
     i = kf_slot
@@ -53,6 +50,24 @@ def _gating_metrics(buffers, kf_slot, pose, geo_dims):
     pts = projection.unproject(bundle.uv, jnp.exp(logd), buffers.K[i])
     pts = projection.transform(pts, delta)
     depth, _ = render_depth(pts, buffers.K[i], geo_dims, valid=bundle.valid)
+    return depth
+
+
+@functools.partial(jax.jit, static_argnames=("geo_dims",))
+def _render_kf_depth_jit(buffers, kf_slot, pose, geo_dims):
+    """ONE-dispatch depth render: the eager chain this replaces cost ~30
+    tiny remote compiles + dispatches per keyframe add on the relay."""
+    return _render_kf_depth(buffers, kf_slot, pose, geo_dims)
+
+
+@functools.partial(jax.jit, static_argnames=("geo_dims",))
+def _gating_metrics(buffers, kf_slot, pose, geo_dims):
+    """One-dispatch keyframe gating (odometery.py:986-1016): render the last
+    KF's points at ``pose``, return (validity_ratio, median-depth-scaled
+    translation diff, median scale) as three scalars — avoids downloading
+    the depth map just to gate."""
+    depth = _render_kf_depth(buffers, kf_slot, pose, geo_dims)
+    i = kf_slot
     valid = depth > 1e-6
     validity_ratio = jnp.mean(valid.astype(jnp.float32))
     diff, scale = kf_criteria.translation_difference(
@@ -142,18 +157,12 @@ class Odometry:
 
     def estimate_depth_latest_kf(self, pose: np.ndarray) -> np.ndarray:
         """Render last KF's points into the camera at ``pose``
-        (odometery.py:294-321 + core/depth_render.py)."""
-        i = self.num_kfs - 1
-        b = self.buffers
-        bundle = self._last_bundle()
-        delta = np.linalg.inv(pose) @ np.asarray(b.poses[i])
-        logd = ph.spread_logdepth(bundle, b.kp_logdepth[i], b.kp_base[i])
-        from ..geometry import projection
-
-        pts = projection.unproject(bundle.uv, jnp.exp(logd), b.K[i])
-        pts = projection.transform(pts, jnp.asarray(delta, jnp.float32))
-        H, W = self._geo_dims()
-        depth, _ = render_depth(pts, b.K[i], (H, W), valid=bundle.valid)
+        (odometery.py:294-321 + core/depth_render.py) — one jitted dispatch,
+        one fetch."""
+        depth = _render_kf_depth_jit(
+            self.buffers, jnp.asarray(self.num_kfs - 1),
+            jnp.asarray(pose, jnp.float32), tuple(self._geo_dims()),
+        )
         return np.asarray(depth)
 
     # -------------------------------------------------------- keyframe init

@@ -152,6 +152,30 @@ def empty_window(
     )
 
 
+@jax.jit
+def _set_kf_slot(buffers, slot, image, K, pose, kp_ld, affine, bundle_uv,
+                 bundle_seg, bundle_base, bundle_valid, bundle_n, kp_b):
+    """ONE fused dispatch for the 13 per-field slot writes — eager
+    ``.at[].set`` chains cost one relay round-trip per field."""
+    return buffers.replace(
+        images=buffers.images.at[slot].set(image),
+        K=buffers.K.at[slot].set(K),
+        poses=buffers.poses.at[slot].set(pose),
+        kp_logdepth=buffers.kp_logdepth.at[slot].set(kp_ld),
+        affine=buffers.affine.at[slot].set(affine),
+        kf_valid=buffers.kf_valid.at[slot].set(True),
+        uv=buffers.uv.at[slot].set(bundle_uv),
+        seg_id=buffers.seg_id.at[slot].set(bundle_seg),
+        base_logdepth=buffers.base_logdepth.at[slot].set(bundle_base),
+        point_valid=buffers.point_valid.at[slot].set(bundle_valid),
+        num_valid=buffers.num_valid.at[slot].set(bundle_n),
+        kp_base=buffers.kp_base.at[slot].set(kp_b),
+        supp_valid=buffers.supp_valid.at[slot].set(
+            jnp.zeros_like(buffers.supp_valid[slot])
+        ),
+    )
+
+
 def set_keyframe_slot(
     buffers: WindowBuffers,
     slot: int,
@@ -180,32 +204,40 @@ def set_keyframe_slot(
     kp_b = np.zeros(N, np.float32)
     kp_b[:n] = kp_base
 
-    return buffers.replace(
-        images=buffers.images.at[slot].set(jnp.asarray(image)),
-        K=buffers.K.at[slot].set(jnp.asarray(K, jnp.float32)),
-        poses=buffers.poses.at[slot].set(jnp.asarray(pose, jnp.float32)),
-        kp_logdepth=buffers.kp_logdepth.at[slot].set(jnp.asarray(kp_ld)),
-        affine=buffers.affine.at[slot].set(jnp.asarray(affine, jnp.float32)),
-        kf_valid=buffers.kf_valid.at[slot].set(True),
-        uv=buffers.uv.at[slot].set(jnp.asarray(bundle_uv)),
-        seg_id=buffers.seg_id.at[slot].set(jnp.asarray(bundle_seg)),
-        base_logdepth=buffers.base_logdepth.at[slot].set(jnp.asarray(bundle_base)),
-        point_valid=buffers.point_valid.at[slot].set(jnp.asarray(bundle_valid)),
-        num_valid=buffers.num_valid.at[slot].set(bundle_n),
-        kp_base=buffers.kp_base.at[slot].set(jnp.asarray(kp_b)),
-        supp_valid=buffers.supp_valid.at[slot].set(jnp.zeros_like(buffers.supp_valid[slot])),
+    return _set_kf_slot(
+        buffers, jnp.asarray(slot), jnp.asarray(image, buffers.images.dtype),
+        jnp.asarray(K, jnp.float32), jnp.asarray(pose, jnp.float32),
+        jnp.asarray(kp_ld), jnp.asarray(affine, jnp.float32),
+        jnp.asarray(bundle_uv, buffers.uv.dtype),
+        jnp.asarray(bundle_seg, jnp.int32),
+        jnp.asarray(bundle_base, buffers.base_logdepth.dtype),
+        jnp.asarray(bundle_valid, bool), jnp.asarray(bundle_n, jnp.int32),
+        jnp.asarray(kp_b),
     )
+
+
+@jax.jit
+def _roll_window(buffers):
+    def shift(x):
+        return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+    rolled = jax.tree.map(shift, buffers)
+    return rolled.replace(kf_valid=rolled.kf_valid.at[-1].set(False))
 
 
 def roll_window(buffers: WindowBuffers) -> WindowBuffers:
     """Evict slot 0 (the reference's pop_kf(0), odometery.py:184-194):
     shift all slots left; the last slot becomes invalid/free."""
-    def shift(x):
-        return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    return _roll_window(buffers)
 
-    rolled = jax.tree.map(shift, buffers)
-    return rolled.replace(
-        kf_valid=rolled.kf_valid.at[-1].set(False),
+
+@jax.jit
+def _set_supp_slot(buffers, kf_slot, supp_slot, image, pose, affine):
+    return buffers.replace(
+        supp_images=buffers.supp_images.at[kf_slot, supp_slot].set(image),
+        supp_poses=buffers.supp_poses.at[kf_slot, supp_slot].set(pose),
+        supp_affine=buffers.supp_affine.at[kf_slot, supp_slot].set(affine),
+        supp_valid=buffers.supp_valid.at[kf_slot, supp_slot].set(True),
     )
 
 
@@ -217,23 +249,28 @@ def set_supporting_slot(
     pose: np.ndarray,
     affine: np.ndarray,
 ) -> WindowBuffers:
-    return buffers.replace(
-        supp_images=buffers.supp_images.at[kf_slot, supp_slot].set(jnp.asarray(image)),
-        supp_poses=buffers.supp_poses.at[kf_slot, supp_slot].set(
-            jnp.asarray(pose, jnp.float32)
-        ),
-        supp_affine=buffers.supp_affine.at[kf_slot, supp_slot].set(
-            jnp.asarray(affine, jnp.float32)
-        ),
-        supp_valid=buffers.supp_valid.at[kf_slot, supp_slot].set(True),
+    return _set_supp_slot(
+        buffers, jnp.asarray(kf_slot), jnp.asarray(supp_slot),
+        jnp.asarray(image, buffers.supp_images.dtype),
+        jnp.asarray(pose, jnp.float32), jnp.asarray(affine, jnp.float32),
     )
 
 
-def clear_supporting(buffers: WindowBuffers, kf_slot: Optional[int] = None) -> WindowBuffers:
-    if kf_slot is None:
-        return buffers.replace(supp_valid=jnp.zeros_like(buffers.supp_valid))
+@jax.jit
+def _clear_supp_all(buffers):
+    return buffers.replace(supp_valid=jnp.zeros_like(buffers.supp_valid))
+
+
+@jax.jit
+def _clear_supp_one(buffers, kf_slot):
     return buffers.replace(
         supp_valid=buffers.supp_valid.at[kf_slot].set(
             jnp.zeros_like(buffers.supp_valid[kf_slot])
         )
     )
+
+
+def clear_supporting(buffers: WindowBuffers, kf_slot: Optional[int] = None) -> WindowBuffers:
+    if kf_slot is None:
+        return _clear_supp_all(buffers)
+    return _clear_supp_one(buffers, jnp.asarray(kf_slot))

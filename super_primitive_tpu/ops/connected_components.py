@@ -45,6 +45,24 @@ def _propagate_once(labels: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask, out, big)
 
 
+def _seg_min_scan(vals: jax.Array, boundary: jax.Array, axis: int,
+                  reverse: bool = False) -> jax.Array:
+    """Segmented min-scan: propagate the running minimum of ``vals`` along
+    ``axis``, resetting wherever ``boundary`` is True.  Pure elementwise +
+    log-depth scan — no gathers (gathers made the old pointer-jump CC cost
+    ~1.9 s/chunk on the TPU; full scans are ~1000x cheaper per sweep)."""
+
+    def op(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+    v, _ = jax.lax.associative_scan(
+        op, (vals, boundary), axis=axis, reverse=reverse
+    )
+    return v
+
+
 @jax.jit
 def label_components(masks: jax.Array) -> jax.Array:
     """Label 4-connected components of (N, H, W) boolean masks.
@@ -53,34 +71,49 @@ def label_components(masks: jax.Array) -> jax.Array:
     connected within their own mask (labels are component-root linear
     indices, unique within each batch element; NOT renumbered 1..K — use
     :func:`relabel_consecutive_np` for that).
+
+    Algorithm: alternating row/column segmented min-scans (labels flood
+    entire straight runs per sweep, so iteration count ~ the number of
+    "turns" in the worst component's geodesic — 2-4 for blob-shaped masks)
+    with one pointer-jump per sweep to collapse long snaking paths, inside a
+    fixpoint ``while_loop``.
     """
     N, H, W = masks.shape
     big = jnp.iinfo(jnp.int32).max
     lin = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
     labels = jnp.where(masks, jnp.broadcast_to(lin, masks.shape), big)
+    bg = ~masks  # scan reset points
 
-    def jump(labels):
-        # pointer jumping: label <- label[label]; foreground labels always
-        # reference foreground pixels, so the clip only touches background
-        # sentinels which the final where() masks out anyway
-        flat = labels.reshape(N, H * W)
+    def sweep(l):
+        l = _seg_min_scan(l, bg, axis=2)
+        l = _seg_min_scan(l, bg, axis=2, reverse=True)
+        l = _seg_min_scan(l, bg, axis=1)
+        l = _seg_min_scan(l, bg, axis=1, reverse=True)
+        return jnp.where(masks, l, big)
+
+    def jump(l):
+        # label <- min(label, label[label]): one gather per sweep squares
+        # the effective propagation distance along winding paths
+        flat = l.reshape(N, H * W)
         idx = jnp.clip(flat, 0, H * W - 1)
         jumped = jnp.take_along_axis(flat, idx, axis=1).reshape(N, H, W)
-        return jnp.where(masks, jnp.minimum(labels, jumped), big)
+        return jnp.where(masks, jnp.minimum(l, jumped), big)
 
     def cond(state):
-        labels, changed, it = state
+        _, changed, it = state
         return jnp.logical_and(changed, it < H * W)
 
     def body(state):
-        labels, _, it = state
-        new = labels
-        for _ in range(4):
-            new = _propagate_once(new, masks)
-            new = jump(new)
-        return new, jnp.any(new != labels), it + 4
+        l, _, it = state
+        new = jump(sweep(l))
+        return new, jnp.any(new != l), it + 1
 
-    labels, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True), 0))
+    # two unrolled sweeps handle the common blob case without paying the
+    # while_loop's per-iteration convergence reduction
+    labels = sweep(sweep(labels))
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.asarray(True), 0)
+    )
     return jnp.where(masks, labels, -1)
 
 

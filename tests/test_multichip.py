@@ -244,8 +244,12 @@ class TestShardedGNMapping:
         for a, b, name in zip(
             plain, sharded, ["H", "g_t", "D", "gl", "Bs", "cost"]
         ):
+            # H accumulates across sharded point partitions (different
+            # reduction order): observed worst case ~8e-5 absolute — keep
+            # the bound near that; everything else stays tight (ADVICE r4)
+            atol = 2e-4 if name == "H" else 1e-5
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                np.asarray(a), np.asarray(b), atol=atol, rtol=1e-5,
                 err_msg=name,
             )
 
