@@ -44,6 +44,61 @@ def depth_discontinuity(
     return (grad > threshold) & validity
 
 
+_native_checked = False
+_native_disc = None
+
+
+def _native_disc_fn():
+    """ctypes handle for the C++ depth-discontinuity kernel (csrc/cc.cpp);
+    None when the native lib is unavailable."""
+    global _native_checked, _native_disc
+    if _native_checked:
+        return _native_disc
+    _native_checked = True
+    try:
+        import ctypes
+
+        from ..data.native_loader import get_lib
+
+        lib = get_lib()
+        if lib:
+            lib.sp_depth_discontinuity.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ]
+            _native_disc = lib.sp_depth_discontinuity
+    except Exception:
+        _native_disc = None
+    return _native_disc
+
+
+def depth_discontinuity_native(
+    logdepth: np.ndarray, validity: np.ndarray,
+    filter_size: int = 3, threshold: float = 0.1, num_threads: int = 8,
+):
+    """Host-native depth_discontinuity (same f32 semantics); None when the
+    native lib is unavailable.  The split runs on host-resident masks whose
+    output feeds a host part loop, so native host code beats a device
+    round-trip (~21 MB upload + relay RTT) here."""
+    import ctypes
+
+    fn = _native_disc_fn()
+    if fn is None:
+        return None
+    logdepth = np.ascontiguousarray(np.asarray(logdepth), np.float32)
+    valid = np.ascontiguousarray(np.asarray(validity), np.uint8)
+    N, H, W = logdepth.shape
+    out = np.empty((N, H, W), np.uint8)
+    fn(
+        logdepth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        N, H, W, filter_size, ctypes.c_float(threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), num_threads,
+    )
+    return out.astype(bool)
+
+
 def split_disconnected_segments(
     regions: np.ndarray,
     logdepth_perseg: np.ndarray,
@@ -62,39 +117,48 @@ def split_disconnected_segments(
     """
     rng = rng or np.random.default_rng(0)
     N, H, W = regions.shape
-    # pad the segment axis to a multiple of 32 so the jitted discontinuity
-    # kernel compiles once per ladder step, not once per keyframe's exact N
-    # (each fresh shape is a 2-5 s remote compile on the relay backend)
-    cap = -(-N // 32) * 32
-    ld_p = np.zeros((cap, H, W), np.float32)
-    ld_p[:N] = logdepth_perseg
-    rg_p = np.zeros((cap, H, W), bool)
-    rg_p[:N] = regions
-    disc = np.asarray(
-        depth_discontinuity(
-            jnp.asarray(ld_p), jnp.asarray(rg_p), filter_size, depth_threshold,
-        )
-    )[:N]
+    disc = depth_discontinuity_native(
+        logdepth_perseg, regions, filter_size, depth_threshold
+    )
+    if disc is None:
+        # device fallback: pad the segment axis to a multiple of 32 so the
+        # jitted discontinuity kernel compiles once per ladder step, not once
+        # per keyframe's exact N (each fresh shape is a 2-5 s remote compile
+        # on the relay backend)
+        cap = -(-N // 32) * 32
+        ld_p = np.zeros((cap, H, W), np.float32)
+        ld_p[:N] = logdepth_perseg
+        rg_p = np.zeros((cap, H, W), bool)
+        rg_p[:N] = regions
+        disc = np.asarray(
+            depth_discontinuity(
+                jnp.asarray(ld_p), jnp.asarray(rg_p), filter_size,
+                depth_threshold,
+            )
+        )[:N]
     split_masks = regions & ~disc
     labels = label_components_chunked(split_masks)
 
     out_masks, out_logdepth, out_kp = [], [], []
+    min_px = area_keep_ratio * (H * W)
     for i in range(N):
-        lab = labels[i]
-        uniq = np.unique(lab[lab >= 0])
-        if uniq.size == 0:
+        flat = labels[i].ravel()
+        fg = flat[flat >= 0]
+        if fg.size == 0:
             continue
-        parts = lab[None] == uniq[:, None, None]          # (K, H, W)
-        sizes = parts.reshape(len(uniq), -1).sum(axis=1)
-        keep = (sizes.astype(np.float64) / (H * W)) > area_keep_ratio
-        if keep.sum() == 0:
+        # labels are component-min linear indices in [0, H*W): bincount sizes
+        # directly — never materialize the (K, H, W) one-hot for the tiny
+        # noise parts (the disc split produces thousands of them)
+        sizes = np.bincount(fg, minlength=H * W)
+        kept_ids = np.nonzero(sizes > min_px)[0]
+        if kept_ids.size == 0:
             continue
-        if keep.sum() == 1:
+        if kept_ids.size == 1:
             out_masks.append(regions[i][None])
             out_logdepth.append(logdepth_perseg[i][None])
             out_kp.append(keypoints_rc[i][None])
         else:
-            kept = parts[keep]
+            kept = labels[i][None] == kept_ids[:, None, None]  # (K', H, W)
             out_masks.append(kept)
             out_logdepth.append(
                 np.broadcast_to(logdepth_perseg[i], kept.shape).copy()

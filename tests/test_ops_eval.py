@@ -63,6 +63,22 @@ class TestConnectedComponents:
                 vals = np.unique(ours_i[ref == lab])
                 assert len(vals) == 1
 
+    def test_native_matches_device_exactly(self):
+        from super_primitive_tpu.ops.connected_components import (
+            label_components_native,
+        )
+
+        r = np.random.default_rng(7)
+        masks = r.uniform(size=(6, 24, 30)) > 0.5
+        native = label_components_native(masks)
+        if native is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        dev = np.asarray(label_components(jnp.asarray(masks)))
+        # both label with the component-minimum linear index -> bit equal
+        np.testing.assert_array_equal(native, dev)
+
     def test_spiral_long_path(self):
         # long geodesic path exercises pointer jumping
         m = np.zeros((1, 16, 16), bool)
@@ -93,6 +109,25 @@ class TestDiscontinuitySplit:
         )
         assert d[0, 10, 16] or d[0, 10, 15] or d[0, 10, 17]
         assert not d[0, 10, 8]
+
+    def test_native_disc_matches_jax(self):
+        from super_primitive_tpu.frontend.post_process import (
+            depth_discontinuity_native,
+        )
+
+        r = np.random.default_rng(11)
+        ld = r.normal(0, 0.5, size=(5, 40, 48)).astype(np.float32)
+        va = r.uniform(size=(5, 40, 48)) > 0.4
+        for k, thr in ((3, 0.1), (5, 0.25)):
+            nat = depth_discontinuity_native(ld, va, k, thr)
+            if nat is None:
+                import pytest
+
+                pytest.skip("native lib unavailable")
+            ref = np.asarray(
+                depth_discontinuity(jnp.asarray(ld), jnp.asarray(va), k, thr)
+            )
+            np.testing.assert_array_equal(nat, ref)
 
     def test_split_into_parts(self):
         regions, logdepth, kp = self._case()
