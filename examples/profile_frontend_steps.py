@@ -2,7 +2,7 @@
 
 BENCH r4: frontend 914 ms = sam_round1 516 + sam_round2 124 + edges 41 +
 bini 161 + misc.  Known device costs: encoder ~98 ms (but see
-profile_encoder14 — true pipelined number may be lower), select decode ~160
+profile_encoder.py --mode encode — true pipelined number may be lower), select decode ~160
 device.  So sam_round1 carries ~200+ ms of host glue / RTTs this probe
 localizes by timing each call INSIDE the round:
 

@@ -1,6 +1,6 @@
 """True device time of the 320-prompt _decode_select via pipelined dispatches.
 
-Companion to profile_encoder14 (same methodology: k back-to-back async
+Companion to profile_encoder.py --mode encode (same methodology: k back-to-back async
 dispatches of the ALREADY-COMPILED production jit, sync once, difference).
 Closes the select-round budget: probe_select_round2 measured ~193 ms wall
 for the full select round, the phase-stats commit claimed ~60 ms device for

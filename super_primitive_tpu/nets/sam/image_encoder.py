@@ -73,7 +73,7 @@ VIT_TINY_TEST = ViTConfig(
 #              (B, L, nh, hd) slices of the qkv projection and every
 #              contraction carries nh as a batch dim — no (3, B*nh, L, hd)
 #              repack transposes on either side of the attention.
-#              NEGATIVE RESULT (round-3 chip A/B, profile_encoder5.py):
+#              NEGATIVE RESULT (round-3 chip A/B; ledger in examples/profile_encoder.py):
 #              ~6-10 ms SLOWER than "ext" in situ — XLA lowers the
 #              interior-batch einsums worse than the explicit repack.
 #              Kept (parity-tested) so the attempt is on record;

@@ -271,14 +271,14 @@ class SamPredictor:
         full rate; features and the (small) decoder stay float32.  None keeps
         everything float32 (checkpoint-validation parity)."""
         if compute_dtype is not None and cfg.global_attn_impl == "xla":
-            # perf path (chip A/B, examples/profile_encoder3.py): extended-
+            # perf path (chip A/B; ledger in examples/profile_encoder.py): extended-
             # head rel-pos for global AND windowed blocks + persistent
             # window layout = 108.7 ms vs 140.3 ms for the materialized-
             # bias / per-block-partition encoder at 1024^2 bf16.  Math
             # identical (parity-tested in tests/test_nets_frontend.py);
             # bf16 reassociation noise ~0.12 on feature scale 3.2.
             # gelu_approx shaves another ~16 ms (97.7 vs 113.4 ms,
-            # examples/profile_encoder4.py); its deviation (~0.16 on scale
+            # examples/profile_encoder.py ledger); its deviation (~0.16 on scale
             # 3.2) is the same order as the bf16 noise already accepted on
             # this path.  The fp32 path (checkpoint validation) keeps the
             # exact erf GELU and materialized-bias attention.
