@@ -205,6 +205,15 @@ def masks_to_edges(masks: np.ndarray) -> np.ndarray:
 
     N, H, W = masks.shape
     packed = np.packbits(masks.astype(bool), axis=-1)  # (N, H, ceil(W/8))
+    # bucket-pad the data-dependent mask count so the jit compiles once per
+    # bucket, not once per distinct N (each new N was a fresh XLA compile —
+    # seconds on the relay).  Zero rows contribute zero gradient, so the
+    # max-reduce is unchanged.
+    cap = max(64, 1 << (int(N - 1).bit_length())) if N else 64
+    if cap > N:
+        packed = np.concatenate(
+            [packed, np.zeros((cap - N, *packed.shape[1:]), np.uint8)]
+        )
     return np.asarray(_packed_masks_to_edges(jnp.asarray(packed), W))
 
 

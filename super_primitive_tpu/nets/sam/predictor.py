@@ -137,6 +137,117 @@ def _select_nms_device(packed, iou_pick, kp_valid, boxes, n_valid,
 
 
 @jax.jit
+def _gather_rows_jit(packed: jax.Array, idx: jax.Array) -> jax.Array:
+    return packed[idx]
+
+
+def stats_from_lowres(lowres, iou, input_hw, out_size, target_length):
+    """Device-side mask statistics from (B, M, S, S) lowres logits.
+
+    The post-decode body of ``_decode_stats`` (stability + areas by phase
+    decomposition of the bilinear upsample, bit-packed binary masks) shared
+    between the real decoder and the structured device fake
+    (frontend/fakes.py) so both exercise identical statistics code.
+    """
+    B, M = lowres.shape[:2]
+    S = lowres.shape[-1]
+    x = lowres.reshape(B * M, S, S)
+
+    s = target_length // S
+    stability, areas = phase_upsample_counts(x, s, input_hw)
+
+    if out_size == S:
+        xb = x
+    else:
+        xb = jax.image.resize(
+            x[..., None], (B * M, out_size, out_size, 1), "bilinear"
+        )[..., 0]
+    # NOTE boundary tolerance (ADVICE r2): logits are not forced to
+    # -inf in the padded region before this resize, so interpolated
+    # pad values can reach the last valid out_size row/col and are
+    # zeroed only by the half-pixel ``region`` test (<= at exact
+    # boundaries).  For input sizes not divisible by
+    # target_length/out_size the mask border at the image edge can
+    # differ from the reference amg by one pixel — below the noise
+    # the downstream NN-resizes introduce.
+    scale = target_length / out_size
+    row_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[0]
+    col_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[1]
+    region = row_ok[:, None] & col_ok[None, :]
+    masks_bin = (xb > MASK_THRESHOLD) & region
+    packed = _packbits_lastaxis(masks_bin)
+    return (
+        packed.reshape(B, M, out_size, out_size // 8),
+        iou,
+        stability.reshape(B, M),
+        areas.reshape(B, M),
+    )
+
+
+def select_from_lowres(lowres, iou, input_hw, out_size, iou_thr, stab_thr,
+                       target_length):
+    """amg smallest-good selection from (B, M, S, S) lowres logits ON DEVICE.
+
+    The post-decode body of ``_decode_select`` (mirrors
+    frontend.mask_generation.smallest_good_mask_batch, reference
+    mask_generation.py:13-95, for select_smallest=True): per-candidate
+    IoU/stability filter with full-resolution statistics via phase
+    decomposition, keypoint valid iff any good candidate, smallest good mask
+    by full-res pixel area, bit-packed picked mask + xyxy boxes.  Shared
+    between the real decoder and the structured device fake so the fake
+    path exercises the production selection code.
+    """
+    B, M = lowres.shape[:2]
+    S = lowres.shape[-1]
+    s = target_length // S
+    stability, areas = phase_upsample_counts(
+        lowres.reshape(B * M, S, S), s, input_hw
+    )
+    stability = stability.reshape(B, M)
+    areas = areas.reshape(B, M)
+
+    good = jnp.ones((B, M), bool)
+    good = jnp.where(iou_thr > 0, good & (iou > iou_thr), good)
+    good = jnp.where(stab_thr > 0, good & (stability >= stab_thr), good)
+    kp_valid = good.any(axis=1)
+    sizes = jnp.where(good, areas.astype(jnp.float32), 1e6)
+    pick = jnp.argmin(sizes, axis=1)
+    ar = jnp.arange(B)
+    picked = lowres[ar, pick]
+    iou_pick = iou[ar, pick]
+
+    if out_size == S:
+        xb = picked
+    else:
+        xb = jax.image.resize(
+            picked[..., None], (B, out_size, out_size, 1), "bilinear"
+        )[..., 0]
+    scale = target_length / out_size
+    row_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[0]
+    col_ok = (jnp.arange(out_size) + 0.5) * scale <= input_hw[1]
+    region = row_ok[:, None] & col_ok[None, :]
+    masks_bin = (xb > MASK_THRESHOLD) & region
+    packed = _packbits_lastaxis(masks_bin)
+
+    # xyxy boxes on the out_size grid (amg batched_mask_to_box:
+    # zeros for empty masks)
+    any_r = masks_bin.any(axis=2)
+    any_c = masks_bin.any(axis=1)
+    nonempty = any_r.any(axis=1)
+
+    def first_last(a):
+        first = jnp.argmax(a, axis=1)
+        last = a.shape[1] - 1 - jnp.argmax(a[:, ::-1], axis=1)
+        return first, last
+
+    r0, r1 = first_last(any_r)
+    c0, c1 = first_last(any_c)
+    boxes = jnp.stack([c0, r0, c1 + 1, r1 + 1], axis=1).astype(jnp.float32)
+    boxes = jnp.where(nonempty[:, None], boxes, 0.0)
+    return packed, iou_pick, kp_valid, boxes, pick
+
+
+@jax.jit
 def _or_packed_rows(packed_rows: jax.Array, nrows: jax.Array) -> jax.Array:
     """Bitwise-OR of the first ``nrows`` rows of (cap, S, S8) packed masks —
     the device side of coverage: survivors OR-reduce to one packed (S, S8)

@@ -298,10 +298,6 @@ class Odometry:
         timer_ctx.__enter__()
         supp = self.frontend.process_to_supp_kf(frame["image"], frame["intrinsics"])
         trg_image = jnp.asarray(supp["image"])
-        trg_pyr = pyr.image_pyramid(
-            trg_image, self.config.alignment.track.pyramid_min,
-            self.config.alignment.track.pyramid_max,
-        )
         kf_pyr = self._kf_track_pyramid()
         i = self.num_kfs - 1
         b = self.buffers
@@ -311,6 +307,9 @@ class Odometry:
         if track_cfg.solver == "gn":
             from ..solve.gauss_newton import gn_track_frame
 
+            trg_pyr = pyr.image_pyramid(
+                trg_image, track_cfg.pyramid_min, track_cfg.pyramid_max
+            )
             # run GN at the levels the step schedule marks active
             levels = [lv for lv, n in enumerate(track_cfg.steps) if n > 0]
             T_frame, affine, infos = gn_track_frame(
@@ -325,15 +324,22 @@ class Odometry:
             # report the finest level's final cost like the Adam path does
             losses = [[float(infos[-1].final_cost)]] if infos else []
         else:
-            T_frame, affine, losses = tracker.track_frame(
-                self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
-                b.kp_logdepth[i], b.kp_base[i],
-                jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
-                b.affine[i], jnp.asarray(self.current_aff),
-                self._geo_dims(), tuple(track_cfg.steps),
-                track_cfg.lr, 5e-3,
-                use_affine=self.affine_compensation,
+            # one dispatch + one 19-float fetch (see track_frame_fused)
+            packed = np.asarray(
+                tracker.track_frame_fused(
+                    self._last_bundle(), tuple(kf_pyr), trg_image, b.K[i],
+                    b.kp_logdepth[i], b.kp_base[i],
+                    jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
+                    b.affine[i], jnp.asarray(self.current_aff),
+                    jnp.asarray(track_cfg.lr), jnp.asarray(5e-3),
+                    self._geo_dims(), tuple(track_cfg.steps),
+                    track_cfg.pyramid_min, track_cfg.pyramid_max,
+                    bool(self.affine_compensation),
+                )
             )
+            T_frame = packed[:16].reshape(4, 4)
+            affine = packed[16:18]
+            losses = [[float(packed[18])]]
         T_frame_np = np.asarray(T_frame)
         self.current_track = T_frame_np
         self.current_aff = np.asarray(affine)

@@ -106,6 +106,68 @@ def track_level(
     return R, affine, opt_state, losses
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geo_dims", "steps", "use_affine", "pyramid_min", "pyramid_max"
+    ),
+)
+def track_frame_fused(
+    bundle: PointBundle,
+    kf_image_pyr: tuple,
+    trg_image: jax.Array,
+    K: jax.Array,
+    kp_logdepth: jax.Array,
+    kp_base: jax.Array,
+    T_kf: jax.Array,
+    T_init: jax.Array,
+    kf_affine: jax.Array,
+    affine_init: jax.Array,
+    lr_pose: jax.Array,
+    lr_affine: jax.Array,
+    geo_dims: tuple[int, int],
+    steps: tuple[int, ...],
+    pyramid_min: int,
+    pyramid_max: int,
+    use_affine: bool,
+):
+    """One-dispatch Adam tracking: target pyramid build + per-level source
+    precompute + all level scans fused into a single jit.
+
+    Numerically identical to :func:`track_frame` (same composed functions);
+    exists because the eager per-frame path pays ~6 small relay dispatches
+    (pyramid blur/slice, per-level precompute) + two fetches — measured at
+    892 ms/frame in the round-4 e2e driver vs 307 ms device for the same
+    300-iter schedule.  Returns a packed (19,) f32 vector:
+    [T_frame(16), affine(2), final_loss(1)] — ONE fetch on the host side.
+    """
+    from ..image import pyramid as pyr
+
+    trg_pyr = pyr.image_pyramid(trg_image, pyramid_min, pyramid_max)
+    R = jnp.matmul(
+        se3.inverse(T_init), T_kf, precision=jax.lax.Precision.HIGHEST
+    )
+    affine = affine_init
+    opt_state = None
+    final_loss = jnp.float32(jnp.nan)
+    for level, n in enumerate(steps):
+        if n <= 0:
+            continue
+        src = ph.precompute_source(kf_image_pyr[level], bundle, geo_dims)
+        R, affine, opt_state, losses = track_level(
+            bundle, src, trg_pyr[level], K, kp_logdepth, kp_base,
+            R, affine, kf_affine, opt_state, lr_pose, lr_affine,
+            geo_dims, int(n), bool(use_affine),
+        )
+        final_loss = losses[-1]
+    T_frame = se3.renormalize(
+        jnp.matmul(T_kf, se3.inverse(R), precision=jax.lax.Precision.HIGHEST)
+    )
+    return jnp.concatenate(
+        [T_frame.reshape(16), affine, final_loss[None]]
+    ).astype(jnp.float32)
+
+
 def track_frame(
     bundle: PointBundle,
     kf_image_pyr: list[jax.Array],
