@@ -53,6 +53,10 @@ def main():
                          "on the floor panel) or 'orbit' (bounded wander, "
                          "valid for any length).  auto = orbit when "
                          "--frames > 40")
+    ap.add_argument("--host-sam", action="store_true",
+                    help="use the host-numpy FakeSAM (legacy slow path) "
+                         "instead of the device-side Voronoi fake through "
+                         "the production select/NMS protocol")
     ap.add_argument("--restore-split", type=int, default=0,
                     help="N > 0: run to frame N, save_state, resume a FRESH "
                          "Odometry from the checkpoint and finish the "
@@ -71,7 +75,6 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from super_primitive_tpu.config import load_config
     from super_primitive_tpu.data.synthetic import PlanesSequence
     from super_primitive_tpu.eval.trajectory import ate_rmse
     from super_primitive_tpu.frontend.fakes import StructuredFakeFrontend
@@ -79,42 +82,20 @@ def main():
 
     print(f"[e2e] backend: {jax.default_backend()}")
     if args.small:
-        H, W, pow_, n_cells = 96, 128, 0, 24
+        H, W, n_cells = 96, 128, 24
     else:
-        H, W, pow_, n_cells = 480, 640, 1, 64  # KF at 240x320 like TUM fr1
+        H, W, n_cells = 480, 640, 64  # KF at 240x320 like TUM fr1
 
     def make_cfg(solver):
-        extra = (
-            {} if solver == "adam"
-            else {"solver": "gn", "gn_max_iters": args.gn_iters}
+        # single source of truth for the e2e shapes — bench.py's
+        # e2e_steady_state leg uses the same helper so both hit identical
+        # jit signatures (shared persistent compile cache)
+        from super_primitive_tpu.eval.e2e_synthetic import make_e2e_config
+
+        return make_e2e_config(
+            solver, small=args.small, gn_iters=args.gn_iters,
+            point_stride=args.point_stride,
         )
-        map_extra = dict(extra)
-        if solver != "adam":
-            map_extra["gn_point_stride"] = args.point_stride
-        return load_config({
-            "save_path": f"/tmp/sp_e2e_planes_{solver}",
-            "window_size": 4,
-            "frontend": {
-                "downsample_pow": pow_,
-                "num_pts": 128, "num_pts_active": 32,
-                "normals": {"integration_shape": [240, 320] if not args.small else [48, 64],
-                            "network_dim": [H, W]},
-                "cg_max_iter": 300, "cg_tol": 1e-3,
-                "check_for_depth_disc": True,
-            },
-            "sam_params": {"infer_resolution": [240, 320] if not args.small else [96, 128]},
-            "aligment": {
-                "mono_init": True,
-                "affine_compensation": False,
-                "opt_supporting": True,
-                "init_frames": 3,
-                "mapping": {"supp_every_n": 3, "init_steps": 60,
-                            "steps": 40, "continual_steps": 5, **map_extra},
-                "track": {"pyramid_min": 0, "pyramid_max": 3,
-                          "steps": [0, 0, 300], **extra},
-            },
-            "kf": {"depth_validity_ratio": 0.60, "translation_thresh": 0.08},
-        })
 
     path = args.path
     if path == "auto":
@@ -124,7 +105,8 @@ def main():
 
     def run_one(solver):
         cfg = make_cfg(solver)
-        fe = StructuredFakeFrontend(cfg, seed=0, n_cells=n_cells)
+        fe = StructuredFakeFrontend(cfg, seed=0, n_cells=n_cells,
+                                    device_sam=not args.host_sam)
         odom = Odometry(cfg, fe, ds)
         t0 = time.perf_counter()
         if args.restore_split > 0:
@@ -143,7 +125,8 @@ def main():
             cfg2 = _dc.replace(
                 cfg, restore=RestoreConfig(path=cfg.save_path, frame_id=tag_id)
             )
-            fe2 = StructuredFakeFrontend(cfg2, seed=0, n_cells=n_cells)
+            fe2 = StructuredFakeFrontend(cfg2, seed=0, n_cells=n_cells,
+                                         device_sam=not args.host_sam)
             odom = Odometry(cfg2, fe2, ds)
             traj = odom.run()
             print(f"[e2e:{solver}] restore split at frame {split}: "

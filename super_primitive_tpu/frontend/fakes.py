@@ -126,26 +126,193 @@ class FakeNNET:
         return normals, kappa
 
 
+def _fake_lowres_logits(seeds, aniso, pts, t_vec, alpha, S: int, s: float):
+    """(B, 3, S, S) Voronoi-margin logits + (B, 3) iou predictions ON DEVICE.
+
+    For prompt b with Voronoi cell c = argmin_k d_k(p_b), the logit field is
+    the signed margin f(x) = min_{j != c} d_j(x) - d_c(x) (anisotropic
+    distances, input-frame pixels): positive inside the cell, ~linear across
+    the boundary — so thresholding at 0 yields the exact cell while the +-1
+    stability band does real filtering work.  Candidates 1/2 shift the margin
+    by t_vec (nested dilations, SAM's part/object/scene nesting), mirroring
+    the host FakeSAM's morphological dilations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    p = pts[:, 0]  # (B, 2) xy — positive point (row 1 is the SAM pad point)
+    qy = (p[:, 1][:, None] - seeds[None, :, 0]) * aniso[None, :, 0]
+    qx = (p[:, 0][:, None] - seeds[None, :, 1]) * aniso[None, :, 1]
+    cell = jnp.argmin(qy * qy + qx * qx, axis=1)  # (B,)
+
+    # low-res grid pixel centers in input-frame coords (half-pixel conv.)
+    cc = (jnp.arange(S, dtype=jnp.float32) + 0.5) * s - 0.5
+    gy = (cc[:, None] - seeds[None, :, 0]) * aniso[None, :, 0]  # (S, C)
+    gx = (cc[:, None] - seeds[None, :, 1]) * aniso[None, :, 1]  # (S, C)
+    d2 = gy[:, None, :] ** 2 + gx[None, :, :] ** 2  # (S, S, C)
+    neg2, idx2 = jax.lax.top_k(-d2, 2)  # two smallest distances per pixel
+    m1, m2, a1 = -neg2[..., 0], -neg2[..., 1], idx2[..., 0]
+
+    d_own = jnp.take(d2, cell, axis=2).transpose(2, 0, 1)  # (B, S, S)
+    d_other = jnp.where(
+        a1[None] == cell[:, None, None], m2[None], m1[None]
+    )
+    f = jnp.sqrt(d_other) - jnp.sqrt(d_own)  # signed margin, ~px units
+    logits = (f[:, None] + t_vec[None, :, None, None]) * alpha
+    iou = jnp.broadcast_to(
+        jnp.asarray([0.88, 0.97, 0.92], jnp.float32), (p.shape[0], 3)
+    )
+    return logits, iou
+
+
+class DeviceFakeSAM:
+    """Voronoi fake masks through the PRODUCTION device selection path.
+
+    Duck-types the ``SamPredictor`` protocol surface that
+    ``process_frame.wire_mask_predictor`` consumes (set_image /
+    predict_points_with_stats / predict_points_select / select_dispatch /
+    select_finish / preload_image / _input_hw) — only the decode is fake:
+    ``_fake_lowres_logits`` stands in for the ViT-H encoder + mask decoder,
+    and everything downstream (phase-decomposed stability/area statistics,
+    smallest-good selection, device box NMS, survivor-only bit-packed
+    transfer, DeferredMasks/coverage) is the exact production code reused
+    from nets/sam/predictor.py.  This makes fake-frontend e2e runs and the
+    honest bench exercise the real keyframe-add path at real mask counts
+    with ~none of the host FakeSAM's numpy cost (VERDICT r4 #1/#7).
+
+    Reference workload being proxied: frontend/process_frame.py:207-255
+    feeding mask_generation.py:143-288.
+    """
+
+    lowres_size = 256  # SAM decoder's low-res logit grid
+
+    def __init__(self, n_cells: int = 48, seed: int = 0,
+                 dilate_px: tuple[float, float] = (8.0, 24.0),
+                 edge_sharpness: float = 1.0, target_length: int = 1024):
+        from ..nets.sam.predictor import (  # production machinery, reused
+            _gather_rows_jit, select_from_lowres, stats_from_lowres,
+        )
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self.n_cells = n_cells
+        self.seed = seed
+        self.target_length = target_length
+        self._t_vec = jnp.asarray([0.0, *dilate_px], jnp.float32)
+        self._alpha = jnp.asarray(edge_sharpness, jnp.float32)
+        self.params = None  # unused by the fake decode; protocol slot
+        self._features = None
+        self._input_hw = None
+        self._orig_hw = None
+        self._cache: dict[tuple[int, int], tuple] = {}
+        self._gather_rows = _gather_rows_jit
+
+        S = self.lowres_size
+        s = target_length / S
+
+        @functools.partial(jax.jit, static_argnames=("out_size",))
+        def _decode_stats(params, features, pts, labels, input_hw, out_size):
+            seeds, aniso = features
+            lowres, iou = _fake_lowres_logits(
+                seeds, aniso, pts, self._t_vec, self._alpha, S, s
+            )
+            return stats_from_lowres(
+                lowres, iou, input_hw, out_size, target_length
+            )
+
+        @functools.partial(jax.jit, static_argnames=("out_size",))
+        def _decode_select(params, features, pts, labels, input_hw,
+                           out_size, iou_thr, stab_thr):
+            seeds, aniso = features
+            lowres, iou = _fake_lowres_logits(
+                seeds, aniso, pts, self._t_vec, self._alpha, S, s
+            )
+            return select_from_lowres(
+                lowres, iou, input_hw, out_size, iou_thr, stab_thr,
+                target_length,
+            )
+
+        self._decode_stats = _decode_stats
+        self._decode_select = _decode_select
+
+    # production prompt-round methods, reused unbound: they only touch the
+    # protocol state set up above plus the _decode_stats/_decode_select seams
+    def _bind(name):  # noqa: N805 — tiny class-body helper
+        from ..nets.sam.predictor import SamPredictor
+
+        return getattr(SamPredictor, name)
+
+    predict_points_with_stats = _bind("predict_points_with_stats")
+    predict_points_select = _bind("predict_points_select")
+    select_dispatch = _bind("select_dispatch")
+    select_finish = _bind("select_finish")
+    del _bind
+
+    def preload_image(self, image_hwc_uint8: np.ndarray):
+        """No upload needed — the fake never reads pixels."""
+
+    def set_image(self, image_hwc_uint8: np.ndarray):
+        import jax.numpy as jnp
+
+        from ..nets.sam.predictor import get_preprocess_shape
+
+        H, W = image_hwc_uint8.shape[:2]
+        h2, w2 = get_preprocess_shape(H, W, self.target_length)
+        key = (H, W)
+        if key not in self._cache:
+            # seeds sampled in image coords (same distribution as the host
+            # FakeSAM), expressed in input-frame pixels
+            r = np.random.default_rng(self.seed)
+            seeds = np.stack(
+                [r.uniform(0, H, self.n_cells), r.uniform(0, W, self.n_cells)],
+                axis=1,
+            ) * (h2 / H)
+            aniso = r.uniform(0.6, 1.6, (self.n_cells, 2))
+            self._cache[key] = (
+                jnp.asarray(seeds, jnp.float32), jnp.asarray(aniso, jnp.float32)
+            )
+        self._features = self._cache[key]
+        self._orig_hw = (H, W)
+        self._input_hw = (h2, w2)
+        self._last_image = image_hwc_uint8
+
+
 class StructuredFakeFrontend(FrontProcessor):
     """The REAL FrontProcessor running on structured fakes.
 
     Drop-in for build_frontend's output; additionally implements the
     odometry driver's ``observe(frame)`` hook to feed the frame pose to
     FakeNNET.
+
+    ``device_sam=True`` swaps the host-numpy FakeSAM for DeviceFakeSAM wired
+    through ``wire_mask_predictor`` — the production two-phase select
+    protocol (device selection + NMS, deferred survivor transfer, BiNI
+    overlap) with fake Voronoi logits.
     """
 
     def __init__(self, config: Config, scene=None, seed: int = 0,
-                 n_cells: int = 48, normal_noise: float = 0.0):
+                 n_cells: int = 48, normal_noise: float = 0.0,
+                 device_sam: bool = False):
         if scene is None:
             from ..data.synthetic import PlanesScene
 
             scene = PlanesScene()
         self.scene = scene
         self._fake_nnet = FakeNNET(scene, noise=normal_noise)
+        if device_sam:
+            from .process_frame import wire_mask_predictor
+
+            mask_fn = wire_mask_predictor(DeviceFakeSAM(
+                n_cells=n_cells, seed=seed
+            ))
+        else:
+            mask_fn = FakeSAM(n_cells=n_cells, seed=seed)
         super().__init__(
             config,
             normals_fn=self._fake_nnet,
-            mask_predict_fn=FakeSAM(n_cells=n_cells, seed=seed),
+            mask_predict_fn=mask_fn,
             rng=np.random.default_rng(42 + seed),
         )
 

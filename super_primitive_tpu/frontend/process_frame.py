@@ -493,41 +493,15 @@ class FrontProcessor:
         }
 
 
-def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
-    """Wire the real Flax models into a FrontProcessor.
+def wire_mask_predictor(predictor):
+    """mask_generation-protocol wrappers around a :class:`SamPredictor`
+    (or anything duck-typing its set_image/select_dispatch/select_finish
+    surface, e.g. the structured device fake in frontend/fakes.py).
 
-    Checkpoints are converted torch weights (nets/convert.py); when absent
-    this raises — use the stub frontends for checkpoint-free runs.
+    Returns ``mask_predict_fn`` with ``.select_round`` (two-phase dispatch/
+    finish protocol for the deferred-transfer flow) and ``.preload``
+    attached — the contract infer_masks keys on.
     """
-    if sam_params_tree is None or nnet_params is None:
-        raise ValueError(
-            "SAM/NNET parameters required; convert the reference checkpoints "
-            "with nets/convert.py or use frontend.stub for synthetic runs"
-        )
-    from ..nets.nnet import predict_normals
-    from ..nets.sam.predictor import SamPredictor
-
-    predictor = SamPredictor(sam_params_tree, compute_dtype=jnp.bfloat16)
-
-    def normals_fn(img):
-        # fp32: NNET is memory-layout bound at this size (47 ms device,
-        # bf16 measured identical), so keep full precision.  With normals
-        # consumed only at the integration shape (include_normals off),
-        # the NN subsample runs on device and only ~1 MB crosses the relay
-        # (identical values for the reference's integer resize ratios).
-        # Accepts uint8 (preferred: 4x smaller upload, /255 on device) or
-        # float [0,1].
-        coarse = (
-            None if config.frontend.include_normals
-            else tuple(config.frontend.normals.integration_shape)
-        )
-        return predict_normals(
-            nnet_params, jnp.asarray(img),
-            tuple(config.frontend.normals.network_dim),
-            coarse_hw=coarse,
-        )
-
-    normals_fn.accepts_uint8 = True
 
     def _to_input_xy(image_uint8, kps_norm):
         predictor.set_image(image_uint8)
@@ -588,4 +562,43 @@ def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
     # NNET dispatch so the ~2.4 MB relay transfer rides NNET's device time
     # instead of sitting serially in front of the encoder dispatch
     mask_predict_fn.preload = predictor.preload_image
-    return FrontProcessor(config, normals_fn, mask_predict_fn)
+    return mask_predict_fn
+
+
+def build_frontend(config: Config, sam_params_tree=None, nnet_params=None):
+    """Wire the real Flax models into a FrontProcessor.
+
+    Checkpoints are converted torch weights (nets/convert.py); when absent
+    this raises — use the stub frontends for checkpoint-free runs.
+    """
+    if sam_params_tree is None or nnet_params is None:
+        raise ValueError(
+            "SAM/NNET parameters required; convert the reference checkpoints "
+            "with nets/convert.py or use frontend.stub for synthetic runs"
+        )
+    from ..nets.nnet import predict_normals
+    from ..nets.sam.predictor import SamPredictor
+
+    predictor = SamPredictor(sam_params_tree, compute_dtype=jnp.bfloat16)
+
+    def normals_fn(img):
+        # fp32: NNET is memory-layout bound at this size (47 ms device,
+        # bf16 measured identical), so keep full precision.  With normals
+        # consumed only at the integration shape (include_normals off),
+        # the NN subsample runs on device and only ~1 MB crosses the relay
+        # (identical values for the reference's integer resize ratios).
+        # Accepts uint8 (preferred: 4x smaller upload, /255 on device) or
+        # float [0,1].
+        coarse = (
+            None if config.frontend.include_normals
+            else tuple(config.frontend.normals.integration_shape)
+        )
+        return predict_normals(
+            nnet_params, jnp.asarray(img),
+            tuple(config.frontend.normals.network_dim),
+            coarse_hw=coarse,
+        )
+
+    normals_fn.accepts_uint8 = True
+
+    return FrontProcessor(config, normals_fn, wire_mask_predictor(predictor))

@@ -124,6 +124,9 @@ class Odometry:
         self.global_kf_trajectory: dict[str, np.ndarray] = {}
         self.global_track_trajectory: dict[str, np.ndarray] = {}
         self.frame_timestamps: dict[str, float] = {}
+        # (timestamp, wall_s, n_segments) per init_keyframe — lets drivers
+        # and bench.py report warm KF-add cost without parsing stdout
+        self.kf_add_log: list[tuple[str, float, int]] = []
 
         self._kf_pyramid_cache = None  # (kf_ts, list of level images)
 
@@ -269,6 +272,7 @@ class Odometry:
         self.num_kfs += 1
         self.global_kf_trajectory[timestamp] = np.asarray(pose)
         self._kf_pyramid_cache = None
+        self.kf_add_log.append((timestamp, time.time() - t0, N_i))
         stages = {
             (k[3:] if k.startswith("kf_") else k): round(1000 * v)
             for k, v in self.timer.last.items()
