@@ -395,6 +395,34 @@ def main():
     except Exception as e:
         print(f"[secondary] bini_realistic skipped: {e!r}", file=sys.stderr)
 
+    # --- keyframe-add machinery at REAL selection load (VERDICT r4 #7):
+    # Voronoi logits through the production select/NMS/edges/BiNI/split path
+    # with ALL filters on — the honest non-net frontend cost per keyframe.
+    fr_real_ms = fr_real_stages = fr_real_runs = None
+    if os.environ.get("SP_BENCH_SKIP_FRONTEND") != "1":
+        try:
+            fr_real_ms, fr_real_stages, fr_real_runs = (
+                bench_frontend_realistic(jax, jnp)
+            )
+            print(
+                f"[secondary] frontend_realistic: {fr_real_ms:.0f} ms wall "
+                f"(median of {fr_real_runs}; stages: {fr_real_stages})",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"[secondary] frontend_realistic skipped: {e!r}", file=sys.stderr)
+
+    # --- end-to-end steady state (VERDICT r4 #1): the system number — warm
+    # KF-add wall + per-frame track wall + effective FPS over a short
+    # production-loop odometry run.
+    e2e_stats = None
+    if os.environ.get("SP_BENCH_SKIP_E2E") != "1":
+        try:
+            e2e_stats = bench_e2e_steady_state(jax, jnp)
+            print(f"[secondary] e2e_steady_state: {e2e_stats}", file=sys.stderr)
+        except Exception as e:
+            print(f"[secondary] e2e_steady_state skipped: {e!r}", file=sys.stderr)
+
     baseline_ms = 1000.0
     out = {
         "metric": "track_keyframe_ms",
@@ -423,6 +451,10 @@ def main():
         "frontend_stages_ms": frontend_stage_ms,
         "frontend_runs_ms": frontend_runs,
         "bini_realistic_ms": round(bini_real_ms, 1) if bini_real_ms else None,
+        "frontend_realistic_ms": round(fr_real_ms, 1) if fr_real_ms else None,
+        "frontend_realistic_stages_ms": fr_real_stages,
+        "frontend_realistic_runs_ms": fr_real_runs,
+        "e2e_steady_state": e2e_stats,
         # budget pinning (VERDICT r3 #7): iteration/point budgets so
         # cross-round numbers are comparable at a glance
         "budgets": {
@@ -477,6 +509,103 @@ def bench_bini_realistic(jax, jnp):
         times.append(time.perf_counter() - t0)
     assert np.all(np.isfinite(d))
     return 1000 * min(times)
+
+
+def bench_frontend_realistic(jax, jnp):
+    """The keyframe-add machinery at REAL selection load (VERDICT r4 #7).
+
+    Structured Voronoi logits (frontend.fakes.DeviceFakeSAM) through the
+    PRODUCTION device selection path — smallest-good pick, stability filter
+    at the default 0.90, device box NMS, deferred survivor transfer, coarse
+    edges, BiNI crop/full routing, edge-point filtering and the depth-
+    discontinuity CC split ALL ON — at reference prompt counts (300+100) and
+    ~300 surviving segments.  Complements ``frontend_keyframe_ms`` (real
+    ViT-H/NNET compute, but random weights force the filters off there).
+
+    Returns (wall_ms median-of-3, stage dict of the median run, all walls).
+    """
+    import numpy as np
+
+    from super_primitive_tpu.config import load_config
+    from super_primitive_tpu.frontend.fakes import DeviceFakeSAM
+    from super_primitive_tpu.frontend.process_frame import (
+        FrontProcessor,
+        wire_mask_predictor,
+    )
+    from super_primitive_tpu.utils.timing import StageTimer
+
+    config = load_config({
+        "frontend": {"downsample_pow": 1, "check_for_depth_disc": True},
+    })
+    Hg, Wg = config.frontend.normals.integration_shape
+    r = np.random.default_rng(1)
+    n = r.normal(0, 0.08, (Hg, Wg, 3)).astype(np.float32)
+    n[..., 2] = -1.0
+    normals_dev = jnp.asarray(n / np.linalg.norm(n, axis=-1, keepdims=True))
+
+    def normals_fn(img):
+        # normals already device-resident at the integration shape (the
+        # real NNET's cost is measured in frontend_keyframe_ms)
+        return normals_dev, None
+
+    fe = FrontProcessor(
+        config, normals_fn,
+        wire_mask_predictor(DeviceFakeSAM(n_cells=304, seed=0)),
+    )
+    image = r.integers(0, 255, (960, 1280, 3), np.uint8)
+    K = np.array([[1000.0, 0, 640.0], [0, 1000.0, 480.0], [0, 0, 1.0]])
+
+    fe.process_to_kf(image, K)  # compile/warm
+    runs = []
+    for _ in range(3):
+        fe.rng = np.random.default_rng(42)
+        fe.timer = StageTimer()
+        img_run = image.copy()
+        t0 = time.perf_counter()
+        kf = fe.process_to_kf(img_run, K)
+        runs.append((
+            time.perf_counter() - t0,
+            {k: round(1000 * v, 1) for k, v in fe.timer.last.items()},
+        ))
+    n_seg = int(kf["regions"].shape[0])
+    runs.sort(key=lambda x: x[0])
+    wall_med, stages_med = runs[len(runs) // 2]
+    stages_med["segments"] = n_seg
+    return 1000 * wall_med, stages_med, [round(1000 * w, 1) for w, _ in runs]
+
+
+def bench_e2e_steady_state(jax, jnp):
+    """Short end-to-end odometry run: the SYSTEM number (VERDICT r4 #1).
+
+    Drives the production Odometry loop (GN fused tracking + GN mapping +
+    keyframing) over a synthetic sequence with the device-fake frontend at
+    the exact examples/e2e_planes.py shapes (shared persistent-cache jit
+    signatures).  Reports warm keyframe-add wall, per-tracked-frame wall and
+    effective FPS — the numbers the 110-frame chip log is judged by.
+    """
+    import numpy as np
+
+    from super_primitive_tpu.eval.e2e_synthetic import run_e2e
+
+    res = run_e2e("gn", frames=24, path="linear")
+    kf_walls = [w for _, w, _ in res["kf_add_log"]]
+    warm = kf_walls[2:] or kf_walls  # first adds pay one-time compiles
+    t = res["timer"]
+    n_track = max(t.counts.get("track", 0) + t.counts.get("fused_frame", 0), 1)
+    track_s = t.totals.get("track", 0.0) + t.totals.get("fused_frame", 0.0)
+    return {
+        "frames": res["frames"],
+        "keyframes": res["keyframes"],
+        "wall_s": round(res["wall_s"], 1),
+        "ate_rmse": round(float(res["ate"]["rmse"]), 4),
+        "kf_add_warm_ms": round(1000 * float(np.median(warm)), 0),
+        "kf_add_max_ms": round(1000 * float(np.max(warm)), 0),
+        "track_ms_per_frame": round(1000 * track_s / n_track, 0),
+        "effective_fps": round((res["frames"] - 1) / res["wall_s"], 2),
+        "solver": "gn",
+        "note": "device-fake frontend (production select/NMS/BiNI/split "
+                "path, real mask counts); warm = KF adds after the first 2",
+    }
 
 
 def bench_frontend_keyframe(jax, jnp):
