@@ -53,6 +53,10 @@ def main():
                          "on the floor panel) or 'orbit' (bounded wander, "
                          "valid for any length).  auto = orbit when "
                          "--frames > 40")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run each solver N times and report the LAST run "
+                         "(in-process warm-cache walls: first runs pay the "
+                         "one-time XLA compiles, polluting solver A/Bs)")
     ap.add_argument("--host-sam", action="store_true",
                     help="use the host-numpy FakeSAM (legacy slow path) "
                          "instead of the device-side Voronoi fake through "
@@ -155,7 +159,12 @@ def main():
         return ate, wall
 
     solvers = ("gn", "adam") if args.solver == "both" else (args.solver,)
-    results = {s: run_one(s) for s in solvers}
+    results = {}
+    for s in solvers:
+        for rep in range(args.repeat):
+            if args.repeat > 1:
+                print(f"\n[e2e] ===== {s} run {rep + 1}/{args.repeat} =====")
+            results[s] = run_one(s)
 
     if args.solver == "both":
         ate_gn, w_gn = results["gn"]

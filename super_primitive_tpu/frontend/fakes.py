@@ -94,9 +94,11 @@ class FakeNNET:
     the reference computes but never consumes it, SURVEY §2.4).
     """
 
-    def __init__(self, scene, noise: float = 0.0, seed: int = 3):
+    def __init__(self, scene, noise: float = 0.0, seed: int = 3,
+                 coarse_hw: tuple[int, int] | None = None):
         self.scene = scene
         self.noise = noise
+        self.coarse_hw = coarse_hw
         self._rng = np.random.default_rng(seed)
         self._T = np.eye(4)
         self._K = None
@@ -108,7 +110,12 @@ class FakeNNET:
         self._native_hw = hw
 
     def __call__(self, img01: np.ndarray):
-        H, W = img01.shape[:2]
+        # like the real predict_normals with coarse_hw (include_normals off):
+        # emit DEVICE normals at the integration shape, so the frontend's
+        # BiNI-overlap path engages and no host resize runs.  The analytic
+        # render happens directly at the coarse shape (4x less host work
+        # than rendering at network_dim and downsampling).
+        H, W = self.coarse_hw or img01.shape[:2]
         if self._K is None:
             raise RuntimeError("FakeNNET.observe(frame) must run before inference")
         Hn, Wn = self._native_hw
@@ -123,6 +130,10 @@ class FakeNNET:
             ).astype(np.float32)
             normals /= np.linalg.norm(normals, axis=-1, keepdims=True) + 1e-12
         kappa = np.full((H, W, 1), 10.0, np.float32)
+        if self.coarse_hw is not None:
+            import jax.numpy as jnp
+
+            return jnp.asarray(normals), kappa
         return normals, kappa
 
 
@@ -300,7 +311,11 @@ class StructuredFakeFrontend(FrontProcessor):
 
             scene = PlanesScene()
         self.scene = scene
-        self._fake_nnet = FakeNNET(scene, noise=normal_noise)
+        coarse = (
+            None if config.frontend.include_normals
+            else tuple(config.frontend.normals.integration_shape)
+        )
+        self._fake_nnet = FakeNNET(scene, noise=normal_noise, coarse_hw=coarse)
         if device_sam:
             from .process_frame import wire_mask_predictor
 

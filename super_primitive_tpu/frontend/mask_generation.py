@@ -401,10 +401,13 @@ def infer_masks(
         if num_pts_active > 0:
             kps_active = active_sample_pos(coverage, num_pts_active, rng)
             with _stage("sam_round2"):
-                h2 = sr.dispatch(image, kps_active, sam_params)
+                with _stage("sam_r2_dispatch"):
+                    h2 = sr.dispatch(image, kps_active, sam_params)
                 # round-1 survivor transfer rides under round-2's decode
-                sel["masks"] = deferred.fetch()
-                sel2 = sr.finish(h2, sam_params)
+                with _stage("sam_r1_fetch"):
+                    sel["masks"] = deferred.fetch()
+                with _stage("sam_r2_finish"):
+                    sel2 = sr.finish(h2, sam_params)
                 kps2_f = kps_active[sel2["keypoints_ids"]]
             num_added = len(kps2_f)
             sel = {

@@ -107,6 +107,7 @@ def split_disconnected_segments(
     depth_threshold: float = 0.1,
     area_keep_ratio: float = 1e-3,
     rng: np.random.Generator | None = None,
+    timer=None,
 ):
     """Full kf_fix_disconnected_regions (post_processer.py:160-181).
 
@@ -115,11 +116,17 @@ def split_disconnected_segments(
     sample_pts_in_mask, :67-84); single-part segments keep their original
     mask and keypoint (:138-141).
     """
+    import contextlib
+
+    def _stage(name):
+        return timer.stage(name) if timer is not None else contextlib.nullcontext()
+
     rng = rng or np.random.default_rng(0)
     N, H, W = regions.shape
-    disc = depth_discontinuity_native(
-        logdepth_perseg, regions, filter_size, depth_threshold
-    )
+    with _stage("split_disc"):
+        disc = depth_discontinuity_native(
+            logdepth_perseg, regions, filter_size, depth_threshold
+        )
     if disc is None:
         # device fallback: pad the segment axis to a multiple of 32 so the
         # jitted discontinuity kernel compiles once per ladder step, not once
@@ -137,10 +144,13 @@ def split_disconnected_segments(
             )
         )[:N]
     split_masks = regions & ~disc
-    labels = label_components_chunked(split_masks)
+    with _stage("split_cc"):
+        labels = label_components_chunked(split_masks)
 
     out_masks, out_logdepth, out_kp = [], [], []
     min_px = area_keep_ratio * (H * W)
+    part_ctx = _stage("split_parts")
+    part_ctx.__enter__()
     for i in range(N):
         flat = labels[i].ravel()
         fg = flat[flat >= 0]
@@ -170,6 +180,7 @@ def split_disconnected_segments(
                 kps[j] = [rr[k], cc[k]]
             out_kp.append(kps)
 
+    part_ctx.__exit__(None, None, None)
     if not out_masks:
         return regions, logdepth_perseg, keypoints_rc
     return (

@@ -37,6 +37,8 @@ from .post_process import split_disconnected_segments
 def _nn_resize(x: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor resize on (..., H, W) or (H, W, C) arrays."""
     H, W = hw
+    if (x.shape[:2] if x.ndim == 2 or x.shape[-1] <= 4 else x.shape[-2:]) == (H, W):
+        return x  # identity resize: the copy/loop below would be pure waste
     if x.ndim == 2:
         return cv2.resize(x, (W, H), interpolation=cv2.INTER_NEAREST)
     if x.ndim == 3 and x.shape[-1] <= 4:
@@ -319,29 +321,39 @@ class FrontProcessor:
                 depth_perseg = self._fetch_integration(h)
 
         # 4. downsample image to KF size; depth NN-resized; log in-mask
-        s = 2 ** fc.downsample_pow
-        H_kf, W_kf = H // s, W // s
-        K_kf = scale_K(K, H_kf / H, W_kf / W)
-        image_kf = cv2.resize(
-            img01, (W_kf, H_kf), interpolation=cv2.INTER_LINEAR
-        ).astype(np.float32)
-        if fc.include_normals:
-            # append NN-resized normal channels (process_frame.py:191-205;
-            # the reference computes but never appends kappa — same here)
-            n_kf = _nn_resize(normals, (H_kf, W_kf)).astype(np.float32)
-            image_kf = np.concatenate([image_kf, n_kf], axis=-1)
+        with self._stage("host_pack"):
+            s = 2 ** fc.downsample_pow
+            H_kf, W_kf = H // s, W // s
+            K_kf = scale_K(K, H_kf / H, W_kf / W)
+            image_kf = cv2.resize(
+                img01, (W_kf, H_kf), interpolation=cv2.INTER_LINEAR
+            ).astype(np.float32)
+            if fc.include_normals:
+                # append NN-resized normal channels (process_frame.py:191-205;
+                # the reference computes but never appends kappa — same here)
+                n_kf = _nn_resize(normals, (H_kf, W_kf)).astype(np.float32)
+                image_kf = np.concatenate([image_kf, n_kf], axis=-1)
 
-        depth_kf = np.stack(
-            [_nn_resize(d, (H_kf, W_kf)) for d in depth_perseg]
-        )
-        regions = depth_kf > 1e-7
-        kps, regions, depth_kf = put_keypoints_back(
-            gen["keypoints"], regions, depth_kf
-        )
-        logdepth = np.where(regions, np.log(np.maximum(depth_kf, 1e-30)), 0.0)
+            if depth_perseg.shape[1:] == (H_kf, W_kf):
+                depth_kf = depth_perseg  # geometry res == KF res (TUM configs)
+            else:
+                depth_kf = np.stack(
+                    [_nn_resize(d, (H_kf, W_kf)) for d in depth_perseg]
+                )
+            regions = depth_kf > 1e-7
+            kps, regions, depth_kf = put_keypoints_back(
+                gen["keypoints"], regions, depth_kf
+            )
+            # masked ufunc: log only in-region (~1-2% of the (N, H, W) stack;
+            # a full-stack np.log here measured ~900 ms at 72x240x320)
+            logdepth = np.zeros(depth_kf.shape, np.float32)
+            np.log(
+                np.maximum(depth_kf, 1e-30, where=regions, out=logdepth),
+                out=logdepth, where=regions,
+            )
 
-        dims = np.asarray([H_kf, W_kf], np.float32)
-        kp_rc = np.round(0.5 * (dims - 1) * (kps + 1)).astype(np.int64)
+            dims = np.asarray([H_kf, W_kf], np.float32)
+            kp_rc = np.round(0.5 * (dims - 1) * (kps + 1)).astype(np.int64)
 
         # 5. depth-discontinuity split
         if fc.check_for_depth_disc:
@@ -351,7 +363,7 @@ class FrontProcessor:
                     fc.depth_disc_params.filter_size,
                     fc.depth_disc_params.depth_threshold,
                     fc.depth_disc_params.area_keep_ratio,
-                    rng=self.rng,
+                    rng=self.rng, timer=self.timer,
                 )
 
         return {

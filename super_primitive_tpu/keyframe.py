@@ -264,14 +264,18 @@ def put_keypoints_back(
     if logdepth is not None:
         logdepth = np.asarray(logdepth)[good]
 
-    rr = np.arange(H)[:, None]
-    cc = np.arange(W)[None, :]
-    out = np.empty_like(kp_px)
-    for i in range(kp_px.shape[0]):
+    # fast path: keypoints already inside their region (the common case —
+    # selection samples keypoints in masks) need no search; only misses pay
+    # a nearest-valid-pixel argmin, restricted to the region's own pixels.
+    # Tie-breaking matches the former full-image argmin (first row-major).
+    M = kp_px.shape[0]
+    out = kp_px.copy()
+    in_mask = regions[np.arange(M), kp_px[:, 0], kp_px[:, 1]] if M else np.zeros(0, bool)
+    for i in np.nonzero(~in_mask)[0]:
+        rr, cc = np.nonzero(regions[i])
         d2 = (rr - kp_px[i, 0]) ** 2 + (cc - kp_px[i, 1]) ** 2
-        d2 = np.where(regions[i], d2, np.inf)
-        flat = np.argmin(d2)
-        out[i] = divmod(flat, W)
+        j = int(np.argmin(d2))
+        out[i] = rr[j], cc[j]
     new_kp = (2.0 * out / (dims - 1.0) - 1.0).astype(np.float32)
     if logdepth is not None:
         return new_kp, regions, logdepth

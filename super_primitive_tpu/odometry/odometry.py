@@ -300,8 +300,13 @@ class Odometry:
         t0 = time.time()
         timer_ctx = self.timer.stage("track")
         timer_ctx.__enter__()
-        supp = self.frontend.process_to_supp_kf(frame["image"], frame["intrinsics"])
-        trg_image = jnp.asarray(supp["image"])
+        with self.timer.stage("track_prep"):
+            # frame resize + ~900 KB host->device image upload: the wall gap
+            # between bench.py's solver-only number and the driver lives here
+            supp = self.frontend.process_to_supp_kf(
+                frame["image"], frame["intrinsics"]
+            )
+            trg_image = jnp.asarray(supp["image"])
         kf_pyr = self._kf_track_pyramid()
         i = self.num_kfs - 1
         b = self.buffers
