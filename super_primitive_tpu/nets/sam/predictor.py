@@ -967,7 +967,10 @@ class SamPredictor:
         }
         if defer_masks:
             out["deferred"] = deferred
-            if coverage_packed is not None:
+            # coverage from the NMS dispatch chain ORs the KEPT set only —
+            # valid solely when this finish actually applied that NMS
+            # (a dispatch(nms)/finish(no-nms) caller must not see it)
+            if coverage_packed is not None and nms_enabled:
                 # survivor coverage already OR-reduced in the NMS dispatch
                 # and fetched with the scalars above — saves the separate
                 # DeferredMasks.coverage round trip (~30 ms on the relay)

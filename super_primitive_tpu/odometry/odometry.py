@@ -60,6 +60,20 @@ def _render_kf_depth_jit(buffers, kf_slot, pose, geo_dims):
     return _render_kf_depth(buffers, kf_slot, pose, geo_dims)
 
 
+@jax.jit
+def _slot_slices_jit(buffers, i):
+    """All per-slot device slices the tracker consumes, in ONE dispatch
+    (each eager ``x[i]`` is a separate ~30 ms relay round-trip)."""
+    return {
+        "uv": buffers.uv[i], "seg_id": buffers.seg_id[i],
+        "base_logdepth": buffers.base_logdepth[i],
+        "point_valid": buffers.point_valid[i],
+        "num_valid": buffers.num_valid[i],
+        "K": buffers.K[i], "kp_logdepth": buffers.kp_logdepth[i],
+        "kp_base": buffers.kp_base[i], "affine": buffers.affine[i],
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("geo_dims",))
 def _gating_metrics(buffers, kf_slot, pose, geo_dims):
     """One-dispatch keyframe gating (odometery.py:986-1016): render the last
@@ -153,10 +167,26 @@ class Odometry:
     def _last_bundle(self) -> PointBundle:
         b = self.buffers
         i = self.num_kfs - 1
+        # cache by buffer-tree identity: every eager ``x[i]`` on a device
+        # array is its own relay dispatch (~30 ms RTT), and track_frame pays
+        # 9 of them per frame otherwise.  Buffers are replaced functionally
+        # on every mutation, so identity captures staleness exactly.
+        key = (id(b), i)
+        if getattr(self, "_slot_cache_key", None) != key:
+            self._slot_cache_key = key
+            self._slot_cache = _slot_slices_jit(b, jnp.asarray(i))
+        sl = self._slot_cache
         return PointBundle(
-            uv=b.uv[i], seg_id=b.seg_id[i], base_logdepth=b.base_logdepth[i],
-            valid=b.point_valid[i], num_valid=b.num_valid[i],
+            uv=sl["uv"], seg_id=sl["seg_id"], base_logdepth=sl["base_logdepth"],
+            valid=sl["point_valid"], num_valid=sl["num_valid"],
         )
+
+    def _slot_arrays(self):
+        """(K, kp_logdepth, kp_base, affine) device slices of the latest KF
+        slot, from the same one-dispatch cache as :meth:`_last_bundle`."""
+        self._last_bundle()
+        sl = self._slot_cache
+        return sl["K"], sl["kp_logdepth"], sl["kp_base"], sl["affine"]
 
     def estimate_depth_latest_kf(self, pose: np.ndarray) -> np.ndarray:
         """Render last KF's points into the camera at ``pose``
@@ -313,6 +343,7 @@ class Odometry:
 
         T_init = self.current_track
         track_cfg = self.config.alignment.track
+        K_i, kp_ld_i, kp_base_i, affine_i = self._slot_arrays()
         if track_cfg.solver == "gn":
             from ..solve.gauss_newton import gn_track_frame
 
@@ -322,10 +353,10 @@ class Odometry:
             # run GN at the levels the step schedule marks active
             levels = [lv for lv, n in enumerate(track_cfg.steps) if n > 0]
             T_frame, affine, infos = gn_track_frame(
-                self._last_bundle(), kf_pyr, trg_pyr, b.K[i],
-                b.kp_logdepth[i], b.kp_base[i],
+                self._last_bundle(), kf_pyr, trg_pyr, K_i,
+                kp_ld_i, kp_base_i,
                 jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
-                b.affine[i], jnp.asarray(self.current_aff),
+                affine_i, jnp.asarray(self.current_aff),
                 self._geo_dims(), levels=levels,
                 max_iters=track_cfg.gn_max_iters,
                 use_affine=self.affine_compensation,
@@ -334,18 +365,24 @@ class Odometry:
             losses = [[float(infos[-1].final_cost)]] if infos else []
         else:
             # one dispatch + one 19-float fetch (see track_frame_fused)
-            packed = np.asarray(
-                tracker.track_frame_fused(
-                    self._last_bundle(), tuple(kf_pyr), trg_image, b.K[i],
-                    b.kp_logdepth[i], b.kp_base[i],
+            with self.timer.stage("track_put"):
+                args_small = (
                     jnp.asarray(self.host_kfs[-1].pose), jnp.asarray(T_init),
-                    b.affine[i], jnp.asarray(self.current_aff),
+                    jnp.asarray(self.current_aff),
                     jnp.asarray(track_cfg.lr), jnp.asarray(5e-3),
+                )
+            with self.timer.stage("track_dispatch"):
+                out = tracker.track_frame_fused(
+                    self._last_bundle(), tuple(kf_pyr), trg_image, K_i,
+                    kp_ld_i, kp_base_i,
+                    args_small[0], args_small[1],
+                    affine_i, args_small[2], args_small[3], args_small[4],
                     self._geo_dims(), tuple(track_cfg.steps),
                     track_cfg.pyramid_min, track_cfg.pyramid_max,
                     bool(self.affine_compensation),
                 )
-            )
+            with self.timer.stage("track_fetch"):
+                packed = np.asarray(out)
             T_frame = packed[:16].reshape(4, 4)
             affine = packed[16:18]
             losses = [[float(packed[18])]]
@@ -359,7 +396,14 @@ class Odometry:
         self.global_track_trajectory[timestamp] = T_frame_np
         timer_ctx.__exit__(None, None, None)
         loss = float(losses[-1][-1]) if losses else float("nan")
+        sub = "".join(
+            f" {k[6:]}={1000 * self.timer.last[k]:.0f}"
+            for k in ("track_prep", "track_put", "track_dispatch", "track_fetch")
+            if k in self.timer.last
+        )
         print(
+            f"tracking time {time.time()-t0:.3f} sec, tracking loss = "
+            f"{loss:.4f} (ms:{sub})" if sub else
             f"tracking time {time.time()-t0:.3f} sec, tracking loss = {loss:.4f}",
             flush=True,
         )
@@ -608,13 +652,20 @@ class Odometry:
         latest_kf_ts = int(self.host_kfs[-1].timestamp)
         i = self.num_kfs - 1
         supp_valid = self.supp_valid_host[i]
+        # ONE batched fetch of the (tiny) pose/affine pools, indexed on host:
+        # eager device slices here cost 2-4 relay dispatches per mapping call
+        # (and supp refinement maps EVERY frame)
+        b = self.buffers
+        poses, affine, supp_poses, supp_affine = jax.device_get(
+            (b.poses, b.affine, b.supp_poses, b.supp_affine)
+        )
         if self.tracked and supp_valid.any() and int(self.tracked[-1].timestamp) > latest_kf_ts:
             j = int(supp_valid.nonzero()[0][-1])
-            self.current_track = np.asarray(self.buffers.supp_poses[i, j])
-            self.current_aff = np.asarray(self.buffers.supp_affine[i, j])
+            self.current_track = supp_poses[i, j]
+            self.current_aff = supp_affine[i, j]
         else:
-            self.current_track = np.asarray(self.buffers.poses[i])
-            self.current_aff = np.asarray(self.buffers.affine[i])
+            self.current_track = poses[i]
+            self.current_aff = affine[i]
             self.current_ts = self.host_kfs[-1].timestamp
 
     # ------------------------------------------------------------- gating
