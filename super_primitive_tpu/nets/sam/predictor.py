@@ -102,8 +102,11 @@ def _select_nms_device(packed, iou_pick, kp_valid, boxes, n_valid,
     first ``n_valid`` rows with ``kp_valid`` set: scores are 1/max(box
     area, 1e-9) when ``by_size`` else the picked IoU prediction, all in f32
     from the same boxes, so host-side stable re-sorting of the kept flags
-    reproduces the reference's keep ORDER bit-for-bit (asserted in
-    tests/test_sam_pipeline.py).  Returns (kept (C,) bool, coverage
+    reproduces the reference's keep ORDER (asserted in
+    tests/test_sam_pipeline.py on the CPU/relay backends; XLA f32 divide is
+    not guaranteed correctly rounded on every backend, so near-tied scores
+    could in principle order differently on other chips — see the matching
+    note in ``select_finish``).  Returns (kept (C,) bool, coverage
     (S, S//8) packed-uint8 OR of the kept masks).
     """
     C = boxes.shape[0]
