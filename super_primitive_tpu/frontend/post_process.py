@@ -75,7 +75,8 @@ def _native_disc_fn():
 
 def depth_discontinuity_native(
     logdepth: np.ndarray, validity: np.ndarray,
-    filter_size: int = 3, threshold: float = 0.1, num_threads: int = 8,
+    filter_size: int = 3, threshold: float = 0.1,
+    num_threads: int | None = None,
 ):
     """Host-native depth_discontinuity (same f32 semantics); None when the
     native lib is unavailable.  The split runs on host-resident masks whose
@@ -86,6 +87,11 @@ def depth_discontinuity_native(
     fn = _native_disc_fn()
     if fn is None:
         return None
+    if num_threads is None:
+        # match label_components_native: never oversubscribe the host cores
+        import os
+
+        num_threads = min(8, os.cpu_count() or 1)
     logdepth = np.ascontiguousarray(np.asarray(logdepth), np.float32)
     valid = np.ascontiguousarray(np.asarray(validity), np.uint8)
     N, H, W = logdepth.shape

@@ -43,6 +43,7 @@ from .window import WindowBuffers
     static_argnames=(
         "geo_dims", "levels", "pyramid_min", "pyramid_max",
         "max_iters", "use_affine", "supp_max_iters", "do_supp",
+        "point_trim",
     ),
 )
 def fused_frame_step(
@@ -65,6 +66,7 @@ def fused_frame_step(
     use_affine: bool = False,
     supp_max_iters: int = 6,
     do_supp: bool = True,
+    point_trim: int | None = None,
 ):
     """Returns (new_buffers, packed (22,), kp_logdepth_row (N,)).
 
@@ -73,7 +75,7 @@ def fused_frame_step(
     per-frame control-flow inputs.
     """
     i = kf_slot
-    bundle = buffers.bundle_at(i)
+    bundle = buffers.bundle_at(i, trim=point_trim)
     T_kf = buffers.poses[i]
     kf_affine = buffers.affine[i]
     kp_ld = buffers.kp_logdepth[i]
@@ -113,6 +115,7 @@ def fused_frame_step(
         ld_row, _ = run_supp_refinement_gn(
             buffers, i, supp_trg_index, supp_trg_valid,
             use_affine, geo_dims, max_iters=supp_max_iters,
+            point_trim=point_trim,
         )
         buffers = buffers.replace(
             kp_logdepth=buffers.kp_logdepth.at[i].set(ld_row)

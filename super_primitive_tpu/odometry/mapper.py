@@ -161,7 +161,9 @@ class MapResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("geo_dims", "use_affine"), donate_argnums=()
+    jax.jit,
+    static_argnames=("geo_dims", "use_affine", "point_trim"),
+    donate_argnums=(),
 )
 def run_mapping(
     buffers: WindowBuffers,
@@ -181,8 +183,18 @@ def run_mapping(
     drag_supporting: jax.Array = np.float32(0.0),  # 1.0 when opt_supporting
                                 # is OFF: supporting poses follow their
                                 # source KF's update (odometery.py:873-877)
+    point_trim: int | None = None,  # static point-axis slice — exact for
+                                # any trim >= every slot's num_valid (see
+                                # WindowBuffers.bundle_at)
 ) -> MapResult:
     """One fully-on-device mapping solve.  See module docstring."""
+    if point_trim is not None:
+        buffers = buffers.replace(
+            uv=buffers.uv[:, :point_trim],
+            seg_id=buffers.seg_id[:, :point_trim],
+            base_logdepth=buffers.base_logdepth[:, :point_trim],
+            point_valid=buffers.point_valid[:, :point_trim],
+        )
     W = buffers.capacity
     S = buffers.supp_capacity
     B = W + W * S
@@ -282,7 +294,9 @@ def run_mapping(
     return MapResult(params=p, losses=losses, num_iters=iters)
 
 
-@functools.partial(jax.jit, static_argnames=("geo_dims", "use_affine"))
+@functools.partial(
+    jax.jit, static_argnames=("geo_dims", "use_affine", "point_trim")
+)
 def run_supp_refinement(
     buffers: WindowBuffers,
     src_slot: jax.Array,       # () int32 — the newest KF slot
@@ -292,6 +306,7 @@ def run_supp_refinement(
     num_iters: jax.Array,
     use_affine: bool,
     geo_dims: tuple[int, int],
+    point_trim: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Specialized 'supp' mapping: refine ONLY the newest KF's log-depths
     against its targets (odometery.py:605-629 — no pose/affine params).
@@ -303,7 +318,7 @@ def run_supp_refinement(
     Returns (kp_logdepth (N,), losses (num_iters<=64,)).
     """
     s = src_slot
-    bundle = buffers.bundle_at(s)
+    bundle = buffers.bundle_at(s, trim=point_trim)
     src = ph.precompute_source(buffers.images[s], bundle, geo_dims)
     trg_images = buffers.image_pool()[trg_index]
     affine_all = buffers.affine_pool()
@@ -341,7 +356,10 @@ def run_supp_refinement(
     return ld, losses
 
 
-@functools.partial(jax.jit, static_argnames=("geo_dims", "use_affine", "max_iters"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo_dims", "use_affine", "max_iters", "point_trim"),
+)
 def run_supp_refinement_gn(
     buffers: WindowBuffers,
     src_slot: jax.Array,
@@ -350,6 +368,7 @@ def run_supp_refinement_gn(
     use_affine: bool,
     geo_dims: tuple[int, int],
     max_iters: int = 6,
+    point_trim: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Newton supp refinement: per-segment scalar log-depths have a DIAGONAL
     normal-equation system (each point touches exactly one scalar), so the
@@ -361,7 +380,7 @@ def run_supp_refinement_gn(
     (~2 forward passes) per iteration.
     """
     s = src_slot
-    bundle = buffers.bundle_at(s)
+    bundle = buffers.bundle_at(s, trim=point_trim)
     src = ph.precompute_source(buffers.images[s], bundle, geo_dims)
     affine_all = buffers.affine_pool()
     rel = jnp.matmul(

@@ -60,14 +60,16 @@ def _render_kf_depth_jit(buffers, kf_slot, pose, geo_dims):
     return _render_kf_depth(buffers, kf_slot, pose, geo_dims)
 
 
-@jax.jit
-def _slot_slices_jit(buffers, i):
+@functools.partial(jax.jit, static_argnames=("trim",))
+def _slot_slices_jit(buffers, i, trim=None):
     """All per-slot device slices the tracker consumes, in ONE dispatch
-    (each eager ``x[i]`` is a separate ~30 ms relay round-trip)."""
+    (each eager ``x[i]`` is a separate ~30 ms relay round-trip).  ``trim``
+    statically slices the point axis — see WindowBuffers.bundle_at."""
+    sl = slice(None) if trim is None else slice(0, trim)
     return {
-        "uv": buffers.uv[i], "seg_id": buffers.seg_id[i],
-        "base_logdepth": buffers.base_logdepth[i],
-        "point_valid": buffers.point_valid[i],
+        "uv": buffers.uv[i, sl], "seg_id": buffers.seg_id[i, sl],
+        "base_logdepth": buffers.base_logdepth[i, sl],
+        "point_valid": buffers.point_valid[i, sl],
         "num_valid": buffers.num_valid[i],
         "K": buffers.K[i], "kp_logdepth": buffers.kp_logdepth[i],
         "kp_base": buffers.kp_base[i], "affine": buffers.affine[i],
@@ -128,6 +130,9 @@ class Odometry:
         self._last_gate: Optional[tuple] = None  # fused-step gating metrics
         self._host_ld_dirty = False
 
+        # per-slot bundle num_valid mirror (parallel to host_kfs): feeds the
+        # static point-axis trims (_point_trim / _map_trim)
+        self._nvalid_slots: list[int] = []
         self.tracked: list[TrackedFrame] = []
         self.current_track: Optional[np.ndarray] = None
         self.current_aff = np.zeros(2, np.float32)
@@ -164,17 +169,47 @@ class Odometry:
     def _geo_dims(self):
         return self.host_kfs[-1].logdepth_perseg.shape[1:]
 
+    def _trim_for(self, n: Optional[int]) -> Optional[int]:
+        """Static point-axis trim covering ``n`` valid points.  The window
+        point capacity carries 2x headroom, and the solvers' cost is linear
+        in the padded point count, so dispatching at full cap pays ~2x the
+        valid-point FLOPs (measured: 716 ms vs a 307 ms bench for the same
+        300-iter Adam track schedule).  Bundles are front-compacted and
+        every reduction is validity-masked and num_valid-normalized, so any
+        trim >= num_valid is exact.  A two-step ladder (HW, 1.5*HW) bounds
+        distinct compile shapes at 2 beyond the full capacity."""
+        if n is None or self.point_cap is None or not self.host_kfs:
+            return None
+        if os.environ.get("SP_DISABLE_POINT_TRIM"):  # A/B kill switch
+            return None
+        Hg, Wg = self._geo_dims()
+        for mult in (1.0, 1.5):
+            cap = int(np.ceil(mult * Hg * Wg / 1024) * 1024)
+            if n <= cap < self.point_cap:
+                return cap
+        return None  # full capacity
+
+    def _point_trim(self) -> Optional[int]:
+        """Trim for latest-KF dispatches (track / fused step / supp)."""
+        return self._trim_for(getattr(self, "_nvalid_latest", None))
+
+    def _map_trim(self) -> Optional[int]:
+        """Trim for window-wide mapping (must cover EVERY slot's points)."""
+        ns = getattr(self, "_nvalid_slots", None)
+        return self._trim_for(max(ns) if ns else None)
+
     def _last_bundle(self) -> PointBundle:
         b = self.buffers
         i = self.num_kfs - 1
+        trim = self._point_trim()
         # cache by buffer-tree identity: every eager ``x[i]`` on a device
         # array is its own relay dispatch (~30 ms RTT), and track_frame pays
         # 9 of them per frame otherwise.  Buffers are replaced functionally
         # on every mutation, so identity captures staleness exactly.
-        key = (id(b), i)
+        key = (id(b), i, trim)
         if getattr(self, "_slot_cache_key", None) != key:
             self._slot_cache_key = key
-            self._slot_cache = _slot_slices_jit(b, jnp.asarray(i))
+            self._slot_cache = _slot_slices_jit(b, jnp.asarray(i), trim=trim)
         sl = self._slot_cache
         return PointBundle(
             uv=sl["uv"], seg_id=sl["seg_id"], base_logdepth=sl["base_logdepth"],
@@ -277,6 +312,7 @@ class Odometry:
                         self.config.save_path + "/curr_kfs", self.host_kfs[0]
                     )
                 self.host_kfs.pop(0)
+                self._nvalid_slots.pop(0)
                 self.buffers = window.roll_window(self.buffers)
                 self.supp_valid_host = np.concatenate(
                     [self.supp_valid_host[1:],
@@ -299,6 +335,8 @@ class Odometry:
             )
         self.supp_valid_host[slot] = False
         self.host_kfs.append(host_kf)
+        self._nvalid_latest = int(bundle.num_valid)  # feeds _point_trim
+        self._nvalid_slots.append(int(bundle.num_valid))
         self.num_kfs += 1
         self.global_kf_trajectory[timestamp] = np.asarray(pose)
         self._kf_pyramid_cache = None
@@ -465,6 +503,7 @@ class Odometry:
                 max_iters=track_cfg.gn_max_iters,
                 use_affine=bool(self.affine_compensation),
                 do_supp=do_supp,
+                point_trim=self._point_trim(),
             )
             out = np.asarray(packed)  # single fetch: pose+affine+gating
             self.buffers = new_buffers
@@ -564,6 +603,7 @@ class Odometry:
                     jnp.asarray(slots.trg_valid[i]),
                     bool(self.affine_compensation),
                     tuple(self._geo_dims()),
+                    point_trim=self._point_trim(),
                 )
             else:
                 ld, _losses = mapper.run_supp_refinement(
@@ -572,6 +612,7 @@ class Odometry:
                     jnp.asarray(1e-2), jnp.asarray(num_iters),
                     bool(self.affine_compensation),
                     tuple(self._geo_dims()),
+                    point_trim=self._point_trim(),
                 )
             self.buffers = self.buffers.replace(
                 kp_logdepth=self.buffers.kp_logdepth.at[i].set(ld)
@@ -583,6 +624,7 @@ class Odometry:
             self.initialised = True
             timer_ctx.__exit__(None, None, None)
             return
+        map_cost_note = ""
         if map_cfg.solver == "gn":
             from ..solve.gn_mapping import gn_mapping
 
@@ -599,6 +641,7 @@ class Odometry:
                     0.0 if self.opt_supporting else 1.0
                 ),
                 point_stride=map_cfg.gn_point_stride,
+                point_trim=self._map_trim(),
             )
             result = mapper.MapResult(
                 params=mapper.MapParams(
@@ -606,6 +649,10 @@ class Odometry:
                     kp_logdepth=gn_res.kp_logdepth, affine=gn_res.affine,
                 ),
                 losses=jnp.zeros(1), num_iters=gn_res.num_iters,
+            )
+            map_cost_note = (
+                f", cost {float(gn_res.initial_cost):.5f}"
+                f" -> {float(gn_res.final_cost):.5f}"
             )
         else:
             lr_pose = 1e-2 if (mode == "init" and self.mono_init) else 1e-4
@@ -622,6 +669,7 @@ class Odometry:
                 drag_supporting=jnp.asarray(
                     0.0 if self.opt_supporting else 1.0
                 ),
+                point_trim=self._map_trim(),
             )
         self.buffers = mapper.write_back(self.buffers, result.params)
 
@@ -641,7 +689,7 @@ class Odometry:
         if mode != "supp":
             print(
                 f"Mapping[{mode}] time {time.time()-t0:.3f} sec "
-                f"({int(result.num_iters)} iters)",
+                f"({int(result.num_iters)} iters{map_cost_note})",
                 flush=True,
             )
         self.initialised = True
@@ -780,6 +828,8 @@ class Odometry:
                 np.asarray(bundle.valid), int(bundle.num_valid), kp_base,
             )
             self.host_kfs.append(kf)
+            self._nvalid_latest = int(bundle.num_valid)  # feeds _point_trim
+            self._nvalid_slots.append(int(bundle.num_valid))
             self.num_kfs += 1
         self.current_track = self.host_kfs[-1].pose.copy()
         self.current_aff = self.host_kfs[-1].affine.copy()

@@ -79,13 +79,21 @@ class WindowBuffers(struct.PyTreeNode):
             [self.affine, self.supp_affine.reshape(W * S, 2)], axis=0
         )
 
-    def bundle_at(self, i):
+    def bundle_at(self, i, trim: Optional[int] = None):
+        """Slot ``i``'s point bundle; ``trim`` (static int) slices the point
+        axis to the first ``trim`` rows.  Bundles are front-compacted
+        (build_bundle_np), and every consumer reduces with the validity mask
+        and normalizes by ``num_valid``, so trimming any cap >= num_valid is
+        numerically exact — it just skips the padded-point FLOPs (the window
+        point capacity is sized 2x for headroom, so tracking at full cap
+        paid ~2x the valid-point work)."""
         from ..keyframe import PointBundle
 
+        sl = slice(None) if trim is None else slice(0, trim)
         return PointBundle(
-            uv=self.uv[i], seg_id=self.seg_id[i],
-            base_logdepth=self.base_logdepth[i],
-            valid=self.point_valid[i], num_valid=self.num_valid[i],
+            uv=self.uv[i, sl], seg_id=self.seg_id[i, sl],
+            base_logdepth=self.base_logdepth[i, sl],
+            valid=self.point_valid[i, sl], num_valid=self.num_valid[i],
         )
 
     def source_samples(self, geo_dims):
@@ -153,10 +161,36 @@ def empty_window(
 
 
 @jax.jit
-def _set_kf_slot(buffers, slot, image, K, pose, kp_ld, affine, bundle_uv,
-                 bundle_seg, bundle_base, bundle_valid, bundle_n, kp_b):
-    """ONE fused dispatch for the 13 per-field slot writes — eager
-    ``.at[].set`` chains cost one relay round-trip per field."""
+def _set_kf_slot_packed(buffers, slot, buf):
+    """ONE fused dispatch for the 13 per-field slot writes, fed by ONE
+    packed f32 upload — eager ``.at[].set`` chains cost one relay
+    round-trip per field, and 13 separate host->device ``jnp.asarray``
+    transfers cost ~one RTT each under the relay (~300 ms/keyframe
+    measured; the packed upload is ~1 RTT + bytes).
+
+    Packing in f32 is exact for every field: pixel coords / segment ids /
+    counts are integers far below 2**24, validity is 0/1, the rest is f32
+    already."""
+    H, Wd, C = buffers.images.shape[1:]
+    N = buffers.kp_logdepth.shape[1]
+    P = buffers.uv.shape[1]
+    sizes = (H * Wd * C, 9, 16, N, 2, N, P * 2, P, P, P, 1)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+
+    def take(k):
+        return buf[int(offs[k]) : int(offs[k + 1])]
+
+    image = take(0).reshape(H, Wd, C).astype(buffers.images.dtype)
+    K = take(1).reshape(3, 3)
+    pose = take(2).reshape(4, 4)
+    kp_ld = take(3)
+    affine = take(4)
+    kp_b = take(5)
+    bundle_uv = take(6).reshape(P, 2).astype(buffers.uv.dtype)
+    bundle_seg = take(7).astype(jnp.int32)
+    bundle_base = take(8).astype(buffers.base_logdepth.dtype)
+    bundle_valid = take(9) > 0.5
+    bundle_n = take(10)[0].astype(jnp.int32)
     return buffers.replace(
         images=buffers.images.at[slot].set(image),
         K=buffers.K.at[slot].set(K),
@@ -204,16 +238,21 @@ def set_keyframe_slot(
     kp_b = np.zeros(N, np.float32)
     kp_b[:n] = kp_base
 
-    return _set_kf_slot(
-        buffers, jnp.asarray(slot), jnp.asarray(image, buffers.images.dtype),
-        jnp.asarray(K, jnp.float32), jnp.asarray(pose, jnp.float32),
-        jnp.asarray(kp_ld), jnp.asarray(affine, jnp.float32),
-        jnp.asarray(bundle_uv, buffers.uv.dtype),
-        jnp.asarray(bundle_seg, jnp.int32),
-        jnp.asarray(bundle_base, buffers.base_logdepth.dtype),
-        jnp.asarray(bundle_valid, bool), jnp.asarray(bundle_n, jnp.int32),
-        jnp.asarray(kp_b),
-    )
+    P = buffers.uv.shape[1]
+    if bundle_uv.shape[0] != P:
+        raise ValueError(f"bundle capacity {bundle_uv.shape[0]} != window {P}")
+    buf = np.concatenate([
+        np.asarray(image, np.float32).ravel(),
+        np.asarray(K, np.float32).ravel(),
+        np.asarray(pose, np.float32).ravel(),
+        kp_ld, np.asarray(affine, np.float32), kp_b,
+        np.asarray(bundle_uv, np.float32).ravel(),
+        np.asarray(bundle_seg, np.float32),
+        np.asarray(bundle_base, np.float32),
+        np.asarray(bundle_valid, np.float32),
+        np.asarray([bundle_n], np.float32),
+    ])
+    return _set_kf_slot_packed(buffers, jnp.asarray(slot), jnp.asarray(buf))
 
 
 @jax.jit

@@ -145,7 +145,7 @@ def _native_label():
     return _native_fn
 
 
-def label_components_native(masks: np.ndarray, num_threads: int = 8):
+def label_components_native(masks: np.ndarray, num_threads: int | None = None):
     """Host-native batched CC via csrc/cc.cpp (union-by-min => identical
     label semantics to :func:`label_components`).  Returns None when the
     native lib is unavailable."""
@@ -154,6 +154,13 @@ def label_components_native(masks: np.ndarray, num_threads: int = 8):
     fn = _native_label()
     if fn is None:
         return None
+    if num_threads is None:
+        # oversubscription is a real cost, not a wash: on a 1-core host an
+        # 8-thread pool contending with the TPU-relay I/O threads measured
+        # 10-500 ms for the same call (e2e split_cc variance)
+        import os
+
+        num_threads = min(8, os.cpu_count() or 1)
     masks = np.ascontiguousarray(np.asarray(masks), np.uint8)
     N, H, W = masks.shape
     out = np.empty((N, H, W), np.int32)

@@ -625,7 +625,7 @@ def solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap):
     jax.jit,
     static_argnames=(
         "geo_dims", "max_iters", "use_affine", "tap_dtype", "point_stride",
-        "factored",
+        "factored", "point_trim",
     ),
 )
 def gn_mapping(
@@ -644,6 +644,9 @@ def gn_mapping(
     tap_dtype: str | None = None,  # see NEGATIVE RESULT below — keep None
     point_stride: int = 1,         # >1: linearize on every k-th bundle point
     factored: bool = True,         # factored normal equations (same math)
+    point_trim: int | None = None,  # static point-axis slice (see
+                                    # WindowBuffers.bundle_at: exact for any
+                                    # trim >= every slot's num_valid)
 ) -> GNMapResult:
     # NEGATIVE RESULT (round-3 chip A/B, examples/bench_mapping.py):
     # tap_dtype="bfloat16" is 70% SLOWER (48.1 vs 28.4 ms/LM-iter) — TPU
@@ -651,6 +654,16 @@ def gn_mapping(
     # slower sub-word gather path; halving the gathered bytes does not help
     # a latency-bound gather.  It also costs accuracy (pose error 1.15-1.7x
     # at the low-error floor).  The flag stays so nobody re-tries blindly.
+    if point_trim is not None:
+        # bundles are front-compacted and every reduction masks on validity
+        # and normalizes by num_valid, so slicing the padded tail off the
+        # point axis is exact (the capacity carries 2x headroom)
+        buffers = buffers.replace(
+            uv=buffers.uv[:, :point_trim],
+            seg_id=buffers.seg_id[:, :point_trim],
+            base_logdepth=buffers.base_logdepth[:, :point_trim],
+            point_valid=buffers.point_valid[:, :point_trim],
+        )
     W = buffers.capacity
     S = buffers.supp_capacity
     B = W + W * S
