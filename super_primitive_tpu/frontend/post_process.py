@@ -149,6 +149,12 @@ def split_disconnected_segments(
                 depth_threshold,
             )
         )[:N]
+    # NOTE: CC must run on EVERY segment, not only the ones carrying disc
+    # pixels — SAM masks can be inherently disconnected with zero depth
+    # discontinuities, and splitting those is the point of the reference's
+    # kf_fix_disconnected_regions (post_processer.py:160-181).  A
+    # disc-subset shortcut was tried and reverted: it silently merged such
+    # segments (segment counts dropped 68 -> 66 on the e2e workload).
     split_masks = regions & ~disc
     with _stage("split_cc"):
         labels = label_components_chunked(split_masks)

@@ -332,6 +332,7 @@ class Odometry:
                 self.current_aff, np.asarray(bundle.uv),
                 np.asarray(bundle.seg_id), np.asarray(bundle.base_logdepth),
                 np.asarray(bundle.valid), int(bundle.num_valid), kp_base,
+                p_used=self._trim_for(int(bundle.num_valid)),
             )
         self.supp_valid_host[slot] = False
         self.host_kfs.append(host_kf)

@@ -17,6 +17,7 @@ jitted mapping scan.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -160,8 +161,8 @@ def empty_window(
     )
 
 
-@jax.jit
-def _set_kf_slot_packed(buffers, slot, buf):
+@functools.partial(jax.jit, static_argnames=("p_used",))
+def _set_kf_slot_packed(buffers, slot, buf, p_used=None):
     """ONE fused dispatch for the 13 per-field slot writes, fed by ONE
     packed f32 upload — eager ``.at[].set`` chains cost one relay
     round-trip per field, and 13 separate host->device ``jnp.asarray``
@@ -174,11 +175,19 @@ def _set_kf_slot_packed(buffers, slot, buf):
     H, Wd, C = buffers.images.shape[1:]
     N = buffers.kp_logdepth.shape[1]
     P = buffers.uv.shape[1]
-    sizes = (H * Wd * C, 9, 16, N, 2, N, P * 2, P, P, P, 1)
+    p = P if p_used is None else int(p_used)
+    sizes = (H * Wd * C, 9, 16, N, 2, N, p * 2, p, p, p, 1)
     offs = np.concatenate([[0], np.cumsum(sizes)])
 
     def take(k):
         return buf[int(offs[k]) : int(offs[k + 1])]
+
+    def pad_p(x):
+        # bundle rows beyond p are zeros by construction (front-compacted
+        # bundles) — pad on device instead of shipping the zero tail
+        if p == P:
+            return x
+        return jnp.zeros((P,) + x.shape[1:], x.dtype).at[:p].set(x)
 
     image = take(0).reshape(H, Wd, C).astype(buffers.images.dtype)
     K = take(1).reshape(3, 3)
@@ -186,10 +195,10 @@ def _set_kf_slot_packed(buffers, slot, buf):
     kp_ld = take(3)
     affine = take(4)
     kp_b = take(5)
-    bundle_uv = take(6).reshape(P, 2).astype(buffers.uv.dtype)
-    bundle_seg = take(7).astype(jnp.int32)
-    bundle_base = take(8).astype(buffers.base_logdepth.dtype)
-    bundle_valid = take(9) > 0.5
+    bundle_uv = pad_p(take(6).reshape(p, 2).astype(buffers.uv.dtype))
+    bundle_seg = pad_p(take(7).astype(jnp.int32))
+    bundle_base = pad_p(take(8).astype(buffers.base_logdepth.dtype))
+    bundle_valid = pad_p(take(9) > 0.5)
     bundle_n = take(10)[0].astype(jnp.int32)
     return buffers.replace(
         images=buffers.images.at[slot].set(image),
@@ -224,10 +233,14 @@ def set_keyframe_slot(
     bundle_valid: np.ndarray,
     bundle_n: int,
     kp_base: np.ndarray,
+    p_used: Optional[int] = None,
 ) -> WindowBuffers:
     """Write one keyframe into a slot (host->device, per-KF cadence).
 
     Per-segment arrays are padded to the window's segment capacity.
+    ``p_used`` (static, >= bundle_n, <= P) uploads only that many bundle
+    rows — the zero tail is padded on device, halving the packed transfer
+    at the usual 2x point-capacity headroom.
     """
     N = buffers.kp_logdepth.shape[1]
     n = kp_logdepth.shape[0]
@@ -241,18 +254,24 @@ def set_keyframe_slot(
     P = buffers.uv.shape[1]
     if bundle_uv.shape[0] != P:
         raise ValueError(f"bundle capacity {bundle_uv.shape[0]} != window {P}")
+    p = P if p_used is None else min(int(p_used), P)
+    if p < int(bundle_n):
+        raise ValueError(f"p_used {p} < bundle_n {bundle_n}")
     buf = np.concatenate([
         np.asarray(image, np.float32).ravel(),
         np.asarray(K, np.float32).ravel(),
         np.asarray(pose, np.float32).ravel(),
         kp_ld, np.asarray(affine, np.float32), kp_b,
-        np.asarray(bundle_uv, np.float32).ravel(),
-        np.asarray(bundle_seg, np.float32),
-        np.asarray(bundle_base, np.float32),
-        np.asarray(bundle_valid, np.float32),
+        np.asarray(bundle_uv[:p], np.float32).ravel(),
+        np.asarray(bundle_seg[:p], np.float32),
+        np.asarray(bundle_base[:p], np.float32),
+        np.asarray(bundle_valid[:p], np.float32),
         np.asarray([bundle_n], np.float32),
     ])
-    return _set_kf_slot_packed(buffers, jnp.asarray(slot), jnp.asarray(buf))
+    return _set_kf_slot_packed(
+        buffers, jnp.asarray(slot), jnp.asarray(buf),
+        p_used=None if p == P else p,
+    )
 
 
 @jax.jit

@@ -139,6 +139,25 @@ class TestDiscontinuitySplit:
         # frozen logdepth inherited
         assert new_ld.shape == new_r.shape
 
+    def test_split_inherently_disconnected_no_disc(self):
+        """A segment made of two separated blobs with NO depth discontinuity
+        must still split — kf_fix_disconnected_regions labels every segment
+        (post_processer.py:160-181), not just disc carriers.  Regression
+        guard: a disc-subset shortcut silently merged these (round 5)."""
+        H, W = 240, 320
+        regions = np.zeros((1, H, W), bool)
+        regions[0, 10:60, 10:60] = True
+        regions[0, 100:160, 100:160] = True
+        logdepth = np.zeros((1, H, W), np.float32)
+        kp = np.asarray([[30, 30]], np.int64)
+        new_r, _, new_kp = split_disconnected_segments(
+            regions, logdepth, kp, rng=np.random.default_rng(0)
+        )
+        assert new_r.shape[0] == 2
+        for j in range(2):
+            r, c = new_kp[j]
+            assert new_r[j, r, c]
+
     def test_no_split_smooth(self):
         H, W = 16, 20
         regions = np.zeros((1, H, W), bool)

@@ -57,6 +57,45 @@ def _build_buffers(H=24, W=32, N_seg=6, seg_cap=16, supp_cap=2, win=3):
     return buffers, img, n_valid, H, W
 
 
+def test_set_keyframe_slot_p_used_identical():
+    """Uploading only p_used bundle rows (device zero-pad) must produce the
+    exact same window buffers as the full-capacity upload."""
+    buffers_full, _, n_valid, H, W = _build_buffers()
+    rng = np.random.default_rng(7)
+    N_seg = 6
+    point_cap = 2 * H * W
+    regions = np.zeros((N_seg, H, W), bool)
+    for s in range(N_seg):
+        r0 = s * H // N_seg
+        regions[s, r0 : r0 + max(1, H // N_seg - 1), 2 : W - 2] = True
+    logdepth = np.log(2.0 + 0.1 * rng.standard_normal((N_seg, H, W))).astype(
+        np.float32
+    )
+    from super_primitive_tpu.keyframe import build_bundle_np
+
+    bundle = build_bundle_np(regions, logdepth, capacity=point_cap)
+    img = np.asarray(smooth_texture(H, W), np.float32)
+    K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]], np.float32)
+    kp_ld = np.zeros(N_seg, np.float32)
+    common = (
+        img, K, np.eye(4, dtype=np.float32), kp_ld, np.zeros(2, np.float32),
+        np.asarray(bundle.uv), np.asarray(bundle.seg_id),
+        np.asarray(bundle.base_logdepth), np.asarray(bundle.valid),
+        int(bundle.num_valid), kp_ld.copy(),
+    )
+    base = window.empty_window(3, 2, (H, W), 3, 16, point_cap)
+    full = window.set_keyframe_slot(base, 0, *common)
+    cut = window.set_keyframe_slot(base, 0, *common, p_used=H * W)
+    import jax.tree_util as jtu
+
+    for (path, a), (_, b) in zip(
+        jtu.tree_flatten_with_path(full)[0], jtu.tree_flatten_with_path(cut)[0]
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(path)
+        )
+
+
 def test_slot_slices_trim_equals_untrimmed_prefix():
     buffers, _, n_valid, H, W = _build_buffers()
     trim = H * W
