@@ -14,7 +14,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..image.gradients import scharr_gradients
-from ..ops.connected_components import label_components, label_components_chunked
+from ..ops.connected_components import (
+    label_components,
+    label_components_chunked,
+    label_components_native,
+)
 
 
 def max_pool2d_same(x: jax.Array, k: int) -> jax.Array:
@@ -129,74 +133,141 @@ def split_disconnected_segments(
 
     rng = rng or np.random.default_rng(0)
     N, H, W = regions.shape
-    with _stage("split_disc"):
-        disc = depth_discontinuity_native(
-            logdepth_perseg, regions, filter_size, depth_threshold
-        )
-    if disc is None:
-        # device fallback: pad the segment axis to a multiple of 32 so the
-        # jitted discontinuity kernel compiles once per ladder step, not once
-        # per keyframe's exact N (each fresh shape is a 2-5 s remote compile
-        # on the relay backend)
-        cap = -(-N // 32) * 32
-        ld_p = np.zeros((cap, H, W), np.float32)
-        ld_p[:N] = logdepth_perseg
-        rg_p = np.zeros((cap, H, W), bool)
-        rg_p[:N] = regions
-        disc = np.asarray(
-            depth_discontinuity(
-                jnp.asarray(ld_p), jnp.asarray(rg_p), filter_size,
-                depth_threshold,
-            )
-        )[:N]
+
     # NOTE: CC must run on EVERY segment, not only the ones carrying disc
     # pixels — SAM masks can be inherently disconnected with zero depth
     # discontinuities, and splitting those is the point of the reference's
     # kf_fix_disconnected_regions (post_processer.py:160-181).  A
     # disc-subset shortcut was tried and reverted: it silently merged such
     # segments (segment counts dropped 68 -> 66 on the e2e workload).
-    split_masks = regions & ~disc
-    with _stage("split_cc"):
-        labels = label_components_chunked(split_masks)
+    #
+    # Both kernels run per segment on the bbox crop: at the reference's
+    # odom scale (480x640 keyframes, 200-300 segments) the full-frame
+    # stacks are 66M px / ~330 MB of traffic, measured at 10-17 s of the
+    # keyframe add on a 1-core host, while the summed bbox area is ~5-10%
+    # of that.  The crop is exact: both kernels have a 2-px dependency
+    # radius (3x3 maxpool + 3x3 Scharr), validity is zero outside the
+    # bbox, and components cannot leave their own mask — see the margin
+    # arithmetic below.
+    native_ok = _native_disc_fn() is not None
+    if native_ok:
+        # per-segment bboxes from axis-any reductions (vectorized)
+        rows_any = regions.any(axis=2)  # (N, H)
+        cols_any = regions.any(axis=1)  # (N, W)
+        r0 = rows_any.argmax(axis=1)
+        r1 = H - rows_any[:, ::-1].argmax(axis=1)  # exclusive
+        c0 = cols_any.argmax(axis=1)
+        c1 = W - cols_any[:, ::-1].argmax(axis=1)
+        empty = ~rows_any.any(axis=1)
 
-    out_masks, out_logdepth, out_kp = [], [], []
+        m = filter_size // 2 + 1  # kernel dependency radius (maxpool+Scharr)
+        disc_crops = [None] * N
+        with _stage("split_disc"):
+            for i in range(N):
+                if empty[i]:
+                    continue
+                # expand by the dependency radius and clamp to the frame:
+                # inside the clamp the crop sees the exact full-frame inputs
+                # (validity 0 -> depth -1 beyond the bbox); at the frame
+                # edge reflect-padding matches the full-frame computation
+                er0, er1 = max(int(r0[i]) - m, 0), min(int(r1[i]) + m, H)
+                ec0, ec1 = max(int(c0[i]) - m, 0), min(int(c1[i]) + m, W)
+                d = depth_discontinuity_native(
+                    np.ascontiguousarray(
+                        logdepth_perseg[i : i + 1, er0:er1, ec0:ec1]
+                    ),
+                    np.ascontiguousarray(regions[i : i + 1, er0:er1, ec0:ec1]),
+                    filter_size, depth_threshold,
+                )[0]
+                # cut back to the bbox (drops the margin ring, whose values
+                # can differ from full-frame; bbox pixels are >= m from the
+                # crop edge wherever the edge is interior)
+                disc_crops[i] = (
+                    d[int(r0[i]) - er0 : int(r1[i]) - er0,
+                      int(c0[i]) - ec0 : int(c1[i]) - ec0],
+                    int(r0[i]), int(c0[i]),
+                )
+        with _stage("split_cc"):
+            labels_crops = [None] * N
+            for i in range(N):
+                if disc_crops[i] is None:
+                    continue
+                d, rr0, cc0 = disc_crops[i]
+                reg_c = regions[i, rr0 : rr0 + d.shape[0], cc0 : cc0 + d.shape[1]]
+                lab = label_components_native(
+                    np.ascontiguousarray((reg_c & ~d)[None])
+                )
+                labels_crops[i] = lab[0]  # (hb, wb) crop labels
+    else:
+        # device fallback (no native lib): pad the segment axis to a
+        # multiple of 32 so the jitted discontinuity kernel compiles once
+        # per ladder step, not once per keyframe's exact N (each fresh
+        # shape is a 2-5 s remote compile on the relay backend)
+        cap = -(-N // 32) * 32
+        ld_p = np.zeros((cap, H, W), np.float32)
+        ld_p[:N] = logdepth_perseg
+        rg_p = np.zeros((cap, H, W), bool)
+        rg_p[:N] = regions
+        with _stage("split_disc"):
+            disc = np.asarray(
+                depth_discontinuity(
+                    jnp.asarray(ld_p), jnp.asarray(rg_p), filter_size,
+                    depth_threshold,
+                )
+            )[:N]
+        with _stage("split_cc"):
+            labels = label_components_chunked(regions & ~disc)
+        labels_crops = [
+            labels[i] if regions[i].any() else None for i in range(N)
+        ]
+        r0 = np.zeros(N, np.int64)
+        c0 = np.zeros(N, np.int64)
+
     min_px = area_keep_ratio * (H * W)
     part_ctx = _stage("split_parts")
     part_ctx.__enter__()
+    parts = []  # (src i, None = single part, else (crop labels, kept_ids))
     for i in range(N):
-        flat = labels[i].ravel()
+        lab = labels_crops[i]
+        if lab is None:
+            continue
+        flat = lab.ravel()
         fg = flat[flat >= 0]
         if fg.size == 0:
             continue
-        # labels are component-min linear indices in [0, H*W): bincount sizes
-        # directly — never materialize the (K, H, W) one-hot for the tiny
-        # noise parts (the disc split produces thousands of them)
-        sizes = np.bincount(fg, minlength=H * W)
+        # labels are component-min linear indices within the crop: bincount
+        # sizes directly — never materialize the (K, H, W) one-hot for the
+        # tiny noise parts (the disc split produces thousands of them)
+        sizes = np.bincount(fg, minlength=flat.size)
         kept_ids = np.nonzero(sizes > min_px)[0]
         if kept_ids.size == 0:
             continue
-        if kept_ids.size == 1:
-            out_masks.append(regions[i][None])
-            out_logdepth.append(logdepth_perseg[i][None])
-            out_kp.append(keypoints_rc[i][None])
-        else:
-            kept = labels[i][None] == kept_ids[:, None, None]  # (K', H, W)
-            out_masks.append(kept)
-            out_logdepth.append(
-                np.broadcast_to(logdepth_perseg[i], kept.shape).copy()
-            )
-            kps = np.zeros((kept.shape[0], 2), keypoints_rc.dtype)
-            for j in range(kept.shape[0]):
-                rr, cc = np.nonzero(kept[j])
-                k = rng.integers(0, rr.size)
-                kps[j] = [rr[k], cc[k]]
-            out_kp.append(kps)
+        parts.append((i, None if kept_ids.size == 1 else (lab, kept_ids)))
 
+    n_out = sum(1 if k is None else len(k[1]) for _, k in parts)
+    out_masks = np.zeros((n_out, H, W), bool)
+    out_kp = np.zeros((n_out, 2), keypoints_rc.dtype)
+    src_idx = np.zeros(n_out, np.int64)
+    j = 0
+    for i, kind in parts:
+        src_i0, src_c0 = (int(r0[i]), int(c0[i])) if native_ok else (0, 0)
+        if kind is None:
+            out_masks[j] = regions[i]
+            out_kp[j] = keypoints_rc[i]
+            src_idx[j] = i
+            j += 1
+            continue
+        lab, kept_ids = kind
+        hb, wb = lab.shape
+        for cid in kept_ids:
+            part = lab == cid
+            out_masks[j, src_i0 : src_i0 + hb, src_c0 : src_c0 + wb] = part
+            rr, cc = np.nonzero(part)
+            k = rng.integers(0, rr.size)
+            out_kp[j] = [rr[k] + src_i0, cc[k] + src_c0]
+            src_idx[j] = i
+            j += 1
     part_ctx.__exit__(None, None, None)
-    if not out_masks:
+    if n_out == 0:
         return regions, logdepth_perseg, keypoints_rc
-    return (
-        np.concatenate(out_masks, axis=0),
-        np.concatenate(out_logdepth, axis=0),
-        np.concatenate(out_kp, axis=0),
-    )
+    return out_masks, np.take(logdepth_perseg, src_idx, axis=0), out_kp
