@@ -245,6 +245,11 @@ def split_disconnected_segments(
         parts.append((i, None if kept_ids.size == 1 else (lab, kept_ids)))
 
     n_out = sum(1 if k is None else len(k[1]) for _, k in parts)
+    if n_out == N and all(kind is None for _, kind in parts):
+        # nothing split, nothing dropped: skip the (N, H, W) output
+        # assembly entirely (~440 MB of copies at odom scale)
+        part_ctx.__exit__(None, None, None)
+        return regions, logdepth_perseg, keypoints_rc
     out_masks = np.zeros((n_out, H, W), bool)
     out_kp = np.zeros((n_out, 2), keypoints_rc.dtype)
     src_idx = np.zeros(n_out, np.int64)
