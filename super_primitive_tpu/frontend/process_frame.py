@@ -334,8 +334,18 @@ class FrontProcessor:
                 n_kf = _nn_resize(normals, (H_kf, W_kf)).astype(np.float32)
                 image_kf = np.concatenate([image_kf, n_kf], axis=-1)
 
-            if depth_perseg.shape[1:] == (H_kf, W_kf):
+            Ng, Hgd, Wgd = depth_perseg.shape
+            fy, fx = H_kf // Hgd, W_kf // Wgd
+            if (Hgd, Wgd) == (H_kf, W_kf):
                 depth_kf = depth_perseg  # geometry res == KF res (TUM configs)
+            elif fy * Hgd == H_kf and fx * Wgd == W_kf and fy >= 1 and fx >= 1:
+                # integer up-ratio: block-repeat == cv2 INTER_NEAREST (dst
+                # i -> floor(i*src/dst) = i//f), one single-pass copy vs a
+                # per-segment cv2 loop (~5 s for 215 maps at 2x on host)
+                depth_kf = np.broadcast_to(
+                    depth_perseg[:, :, None, :, None],
+                    (Ng, Hgd, fy, Wgd, fx),
+                ).reshape(Ng, H_kf, W_kf)
             else:
                 depth_kf = np.stack(
                     [_nn_resize(d, (H_kf, W_kf)) for d in depth_perseg]
