@@ -354,13 +354,29 @@ class FrontProcessor:
             kps, regions, depth_kf = put_keypoints_back(
                 gen["keypoints"], regions, depth_kf
             )
-            # masked ufunc: log only in-region (~1-2% of the (N, H, W) stack;
-            # a full-stack np.log here measured ~900 ms at 72x240x320)
+            # log only in-region AND only inside each segment's bbox: the
+            # where= ufunc still scans the full (N, H, W) stack (265 MB x2
+            # at odom scale, ~0.4 s host); bbox crops touch the ~5-10%
+            # that matters (a full-stack np.log measured ~900 ms even at
+            # 72x240x320)
             logdepth = np.zeros(depth_kf.shape, np.float32)
-            np.log(
-                np.maximum(depth_kf, 1e-30, where=regions, out=logdepth),
-                out=logdepth, where=regions,
-            )
+            rows_any = regions.any(axis=2)
+            cols_any = regions.any(axis=1)
+            Hk, Wk = regions.shape[1:]
+            for _i in range(regions.shape[0]):
+                if not rows_any[_i].any():
+                    continue
+                _r0 = int(rows_any[_i].argmax())
+                _r1 = Hk - int(rows_any[_i][::-1].argmax())
+                _c0 = int(cols_any[_i].argmax())
+                _c1 = Wk - int(cols_any[_i][::-1].argmax())
+                dc = depth_kf[_i, _r0:_r1, _c0:_c1]
+                rc = regions[_i, _r0:_r1, _c0:_c1]
+                lc = logdepth[_i, _r0:_r1, _c0:_c1]
+                np.log(
+                    np.maximum(dc, 1e-30, where=rc, out=lc),
+                    out=lc, where=rc,
+                )
 
             dims = np.asarray([H_kf, W_kf], np.float32)
             kp_rc = np.round(0.5 * (dims - 1) * (kps + 1)).astype(np.int64)
