@@ -333,6 +333,7 @@ class Odometry:
                 np.asarray(bundle.seg_id), np.asarray(bundle.base_logdepth),
                 np.asarray(bundle.valid), int(bundle.num_valid), kp_base,
                 p_used=self._trim_for(int(bundle.num_valid)),
+                timer=self.timer,
             )
         self.supp_valid_host[slot] = False
         self.host_kfs.append(host_kf)

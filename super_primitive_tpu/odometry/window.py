@@ -234,6 +234,7 @@ def set_keyframe_slot(
     bundle_n: int,
     kp_base: np.ndarray,
     p_used: Optional[int] = None,
+    timer=None,
 ) -> WindowBuffers:
     """Write one keyframe into a slot (host->device, per-KF cadence).
 
@@ -257,21 +258,30 @@ def set_keyframe_slot(
     p = P if p_used is None else min(int(p_used), P)
     if p < int(bundle_n):
         raise ValueError(f"p_used {p} < bundle_n {bundle_n}")
-    buf = np.concatenate([
-        np.asarray(image, np.float32).ravel(),
-        np.asarray(K, np.float32).ravel(),
-        np.asarray(pose, np.float32).ravel(),
-        kp_ld, np.asarray(affine, np.float32), kp_b,
-        np.asarray(bundle_uv[:p], np.float32).ravel(),
-        np.asarray(bundle_seg[:p], np.float32),
-        np.asarray(bundle_base[:p], np.float32),
-        np.asarray(bundle_valid[:p], np.float32),
-        np.asarray([bundle_n], np.float32),
-    ])
-    return _set_kf_slot_packed(
-        buffers, jnp.asarray(slot), jnp.asarray(buf),
-        p_used=None if p == P else p,
-    )
+    import contextlib
+
+    def _stage(name):
+        return timer.stage(name) if timer is not None else contextlib.nullcontext()
+
+    with _stage("slot_pack"):
+        buf = np.concatenate([
+            np.asarray(image, np.float32).ravel(),
+            np.asarray(K, np.float32).ravel(),
+            np.asarray(pose, np.float32).ravel(),
+            kp_ld, np.asarray(affine, np.float32), kp_b,
+            np.asarray(bundle_uv[:p], np.float32).ravel(),
+            np.asarray(bundle_seg[:p], np.float32),
+            np.asarray(bundle_base[:p], np.float32),
+            np.asarray(bundle_valid[:p], np.float32),
+            np.asarray([bundle_n], np.float32),
+        ])
+    with _stage("slot_upload"):
+        buf_dev = jnp.asarray(buf)
+    with _stage("slot_dispatch"):
+        return _set_kf_slot_packed(
+            buffers, jnp.asarray(slot), buf_dev,
+            p_used=None if p == P else p,
+        )
 
 
 @jax.jit
