@@ -644,6 +644,10 @@ class Odometry:
                 ),
                 point_stride=map_cfg.gn_point_stride,
                 point_trim=self._map_trim(),
+                # mono init's global-scale null direction makes LM's damping
+                # trajectory f32-noise-sensitive (PARITY.md); pin the gauge.
+                # Only valid while the frozen first pose is the identity.
+                pin_scale_gauge=(mode == "init" and bool(self.mono_init)),
             )
             result = mapper.MapResult(
                 params=mapper.MapParams(

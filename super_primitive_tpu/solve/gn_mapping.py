@@ -625,7 +625,7 @@ def solve_step(H, g_t, D, gl, Bs, lam, ld_w, par_mask, cmap):
     jax.jit,
     static_argnames=(
         "geo_dims", "max_iters", "use_affine", "tap_dtype", "point_stride",
-        "factored", "point_trim",
+        "factored", "point_trim", "pin_scale_gauge",
     ),
 )
 def gn_mapping(
@@ -647,6 +647,7 @@ def gn_mapping(
     point_trim: int | None = None,  # static point-axis slice (see
                                     # WindowBuffers.bundle_at: exact for any
                                     # trim >= every slot's num_valid)
+    pin_scale_gauge: bool = False,  # mono-init gauge retraction, see below
 ) -> GNMapResult:
     # NEGATIVE RESULT (round-3 chip A/B, examples/bench_mapping.py):
     # tap_dtype="bfloat16" is 70% SLOWER (48.1 vs 28.4 ms/LM-iter) — TPU
@@ -700,14 +701,33 @@ def gn_mapping(
     kf_of = jnp.concatenate([jnp.arange(W), jnp.repeat(jnp.arange(W), S)])
     is_supp = jnp.arange(B) >= W
 
-    def apply_update(poses, kp_logdepth, affine, d_theta, d_l):
+    def apply_update(poses, kp_logdepth, affine, d_theta, d_l, D):
         d_xi = d_theta[: 6 * B].reshape(B, 6)
         # opt_supporting=False: drag supporting poses with their source KF
         d_xi = jnp.where(
             (is_supp & (drag_supporting > 0))[:, None], d_xi[kf_of], d_xi
         )
         d_aff = d_theta[6 * B :].reshape(B, 2)
+        c = jnp.float32(0.0)
+        if pin_scale_gauge:
+            # Mono-scale gauge retraction (PARITY.md fragility note): the
+            # 2-KF mono-init problem has an exact photometric null direction
+            #   kp_logdepth += c (all active landmarks),  t_WC *= e^c (all
+            # poses) — depths and camera centers co-scale, projections are
+            # invariant.  LM can wander along it on f32 reduction noise,
+            # flipping the damping trajectory (observed once on chip: ATE
+            # 0.005 vs 0.17 from a ~1e-8 perturbation).  Retract each
+            # accepted step back to mean(ld) = const: subtract the step's
+            # mean logdepth shift over landmarks that received taps and
+            # rescale every translation by e^{-c}.  Exactly cost-neutral;
+            # valid only when every gauge-frozen pose has zero translation
+            # (mono init starts the first keyframe at identity).
+            w = ld_w * (D > 1e-12)
+            c = jnp.sum(d_l * w) / jnp.maximum(jnp.sum(w), 1.0)
+            d_l = d_l - c * w
         poses_new = jax.vmap(se3.retract)(poses, d_xi)
+        if pin_scale_gauge:
+            poses_new = poses_new.at[:, :3, 3].multiply(jnp.exp(-c))
         return poses_new, kp_logdepth + d_l, affine + d_aff
 
     # LM with linearize-at-trial-point: ``assemble`` computes the state's
@@ -722,7 +742,7 @@ def gn_mapping(
         poses, ld, aff, lin, lam, it, cost, done = state
         H, g_t, D, gl, Bs, _ = lin
         d_theta, d_l = solve_at(H, g_t, D, gl, Bs, lam)
-        poses_n, ld_n, aff_n = apply_update(poses, ld, aff, d_theta, d_l)
+        poses_n, ld_n, aff_n = apply_update(poses, ld, aff, d_theta, d_l, D)
         lin_n = assemble_at(poses_n, ld_n, aff_n)
         cost_n = lin_n[5]
         improved = cost_n < cost

@@ -465,3 +465,89 @@ class TestFactoredAssemble:
             ed = pose_err(res_d.poses[i], jnp.asarray(gt_poses[i]))
             ef = pose_err(res_f.poses[i], jnp.asarray(gt_poses[i]))
             assert ef < ed * 1.15 + 1e-5, (i, ed, ef)
+
+
+class TestGNScaleGaugePin:
+    """Mono-init scale-gauge retraction (gn_mapping pin_scale_gauge).
+
+    The 2-KF mono-init problem has an exact photometric null direction:
+    kp_logdepth += c on every active landmark with every world-from-camera
+    translation scaled by e^c (depths and camera centers co-scale,
+    projections are invariant).  The pin retracts each LM step back to
+    mean(ld) = const along that direction (PARITY.md fragility note)."""
+
+    @staticmethod
+    def _rebase_to_identity(buf):
+        """Left-multiply every pose by T0^-1 so the first KF sits at the
+        identity (cost depends only on relative poses)."""
+        T0_inv = jnp.asarray(np.linalg.inv(np.asarray(buf.poses[0])))
+        return buf.replace(
+            poses=jnp.einsum("ij,wjk->wik", T0_inv, buf.poses),
+            supp_poses=jnp.einsum("ij,wsjk->wsik", T0_inv, buf.supp_poses),
+        )
+
+    def test_null_direction_is_cost_neutral(self, window_setup):
+        from super_primitive_tpu.solve.gn_mapping import assemble
+
+        buf, _, geo_dims = window_setup
+        supp_valid = np.asarray(buf.supp_valid)
+        slots = mapper.build_slots(3, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            3, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        par_mask = jnp.concatenate([
+            jnp.repeat(jnp.asarray(masks.xi_mask), 6),
+            jnp.repeat(jnp.asarray(masks.affine_mask), 2),
+        ])
+        trg_index = jnp.asarray(slots.trg_index)
+
+        def cost_at(b):
+            out = assemble(
+                b, trg_index, jnp.asarray(slots.trg_valid),
+                jnp.asarray(slots.src_valid), b.image_pool()[trg_index],
+                b.source_samples(geo_dims), par_mask, geo_dims, False,
+                b.pose_pool(), b.kp_logdepth, b.affine_pool(),
+            )
+            return float(out[5])
+
+        c = 0.1
+        scaled = window_setup[0].replace(
+            kp_logdepth=buf.kp_logdepth + c,
+            poses=buf.poses.at[:, :3, 3].multiply(np.exp(c)),
+            supp_poses=buf.supp_poses.at[:, :, :3, 3].multiply(np.exp(c)),
+        )
+        c0, c1 = cost_at(buf), cost_at(scaled)
+        np.testing.assert_allclose(c1, c0, rtol=2e-4)
+
+    def test_pinned_init_solve_pins_mean_and_keeps_quality(self, window_setup):
+        buf, _, geo_dims = window_setup
+        buf = self._rebase_to_identity(buf)
+        # init-style configuration: 2 KFs, window not full -> both logdepth
+        # rows free, only pose 1 free (the mono-init near-null setup)
+        supp_valid = np.zeros_like(np.asarray(buf.supp_valid))
+        slots = mapper.build_slots(2, buf.capacity, supp_valid, "map")
+        masks = mapper.build_masks(
+            2, buf.capacity, supp_valid, "map", buf.capacity, False, False
+        )
+        sargs = (
+            jnp.asarray(slots.trg_index), jnp.asarray(slots.trg_valid),
+            jnp.asarray(slots.src_valid),
+            jnp.asarray(masks.xi_mask), jnp.asarray(masks.ld_mask),
+            jnp.asarray(masks.affine_mask),
+        )
+        res_u = gn_mapping(buf, *sargs, geo_dims, max_iters=20)
+        res_p = gn_mapping(
+            buf, *sargs, geo_dims, max_iters=20, pin_scale_gauge=True
+        )
+        # quality preserved: the pin moves along a cost-neutral direction
+        assert float(res_p.final_cost) < float(res_p.initial_cost)
+        assert float(res_p.final_cost) <= float(res_u.final_cost) * 1.05 + 1e-8
+        # gauge pinned: mean logdepth over active landmarks is unchanged
+        n_active = 12  # 3x4 GridSegmentFrontend segments, all visible
+        ld0 = np.asarray(buf.kp_logdepth)[:2, :n_active]
+        ldp = np.asarray(res_p.kp_logdepth)[:2, :n_active]
+        assert abs(float(np.mean(ldp - ld0))) < 5e-4
+        # frozen first pose untouched (zero translation scales to zero)
+        np.testing.assert_allclose(
+            np.asarray(res_p.poses[0]), np.asarray(buf.poses[0]), atol=1e-6
+        )
