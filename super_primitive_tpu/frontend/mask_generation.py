@@ -190,7 +190,7 @@ def active_sample_pos(
     return norm.astype(np.float32)
 
 
-def masks_to_edges(masks: np.ndarray) -> np.ndarray:
+def masks_to_edges(masks: np.ndarray, defer: bool = False):
     """Max Scharr magnitude over masks (mask_generation.py:291-303).
 
     Reflect-pad Scharr/32, matching the reference's ImageGradientModule
@@ -200,6 +200,11 @@ def masks_to_edges(masks: np.ndarray) -> np.ndarray:
     8x less host->device traffic (a 300-segment keyframe at 240x320 would
     otherwise upload ~90 MB of f32 over the relay); the unpack is exact, so
     numerics are unchanged.
+
+    ``defer=True`` returns the DEVICE array (dispatch enqueued, not
+    fetched): on the relay backend the blocking fetch costs ~one RTT plus
+    the device time, which the frontend instead folds into its single
+    batched ``device_get`` alongside the BiNI solve outputs.
     """
     import jax.numpy as jnp
 
@@ -214,7 +219,8 @@ def masks_to_edges(masks: np.ndarray) -> np.ndarray:
         packed = np.concatenate(
             [packed, np.zeros((cap - N, *packed.shape[1:]), np.uint8)]
         )
-    return np.asarray(_packed_masks_to_edges(jnp.asarray(packed), W))
+    out = _packed_masks_to_edges(jnp.asarray(packed), W)
+    return out if defer else np.asarray(out)
 
 
 _PACKED_EDGES_JIT = None
@@ -246,6 +252,22 @@ def _packed_masks_to_edges(packed, W: int):
 def infer_edge_probs(masks: np.ndarray):
     edges = masks_to_edges(masks)
     return edges, np.clip(1 - 2 * edges, 0, 1)
+
+
+def finish_edges_full(edges_np: np.ndarray):
+    """Host tail of the full-resolution edge path for a prefetched device
+    edge map (``masks_to_edges(defer=True)`` output already on host)."""
+    probs = np.clip(1 - 2 * edges_np, 0, 1)
+    return edges_np, probs, edges_np, probs
+
+
+def finish_edges_coarse(edges_coarse_np: np.ndarray, hw: tuple[int, int]):
+    """Host tail of the coarse-edge path (bilinear align_corners upsample,
+    reference mask_generation.py:246-252) for a prefetched coarse edge map."""
+    probs_coarse = np.clip(1 - 2 * edges_coarse_np, 0, 1)
+    edges = bilinear_resize_ac(edges_coarse_np, hw)
+    probs = bilinear_resize_ac(probs_coarse, hw)
+    return edges, probs, edges_coarse_np, probs_coarse
 
 
 def nearest_resize_batch(masks: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
@@ -302,6 +324,7 @@ def infer_masks(
     edge_probs_shape: tuple[int, int] | None = None,
     on_round1=None,
     timer=None,
+    defer_edges: bool = False,
 ):
     """Full two-round mask generation (mask_generation.py:143-288).
 
@@ -453,10 +476,32 @@ def infer_masks(
             }
             kps_f = np.concatenate([kps_f, kps2_f], axis=0)
 
+    # cut_masks_by_edges consumes edge_probs in-pipeline, so the edge fetch
+    # can only be deferred (folded into the caller's batched device_get)
+    # when the cut is off — true in every reference config.
+    defer_edges = (
+        defer_edges and not sam_params.cut_masks_by_edges and len(sel["masks"])
+    )
+    edges_dev = edges_finish = None
     with _stage("sam_edges"):
         if not len(sel["masks"]):
             edges = edges_coarse = np.zeros((H, W), np.float32)
             edge_probs = edge_probs_coarse = np.ones((H, W), np.float32)
+        elif defer_edges:
+            # dispatch now (device work overlaps the caller's BiNI solve),
+            # fetch later: the caller ships the edge map home inside its
+            # one batched device_get and runs the finish tail on host
+            edges = edge_probs = edges_coarse = edge_probs_coarse = None
+            if edge_probs_shape is None:
+                edges_dev = masks_to_edges(sel["masks"], defer=True)
+                edges_finish = finish_edges_full
+            else:
+                mc = nearest_resize_batch(
+                    sel["masks"].astype(np.float32), tuple(edge_probs_shape)
+                ) > 0.5
+                edges_dev = masks_to_edges(mc, defer=True)
+                _hw = tuple(sel["masks"].shape[-2:])
+                edges_finish = lambda e, _hw=_hw: finish_edges_coarse(e, _hw)
         elif edge_probs_shape is None:
             edges, edge_probs = infer_edge_probs(sel["masks"])
             edges_coarse, edge_probs_coarse = edges, edge_probs
@@ -492,4 +537,9 @@ def infer_masks(
         "edge_probs": edge_probs,
         "edge_coarse": edges_coarse,
         "edge_probs_coarse": edge_probs_coarse,
+        # deferred-edge handle (None unless defer_edges): the caller fetches
+        # edges_dev (batched with its other device reads) and passes the
+        # host array to edges_finish -> (edges, probs, coarse, probs_coarse)
+        "edges_dev": edges_dev,
+        "edges_finish": edges_finish,
     }

@@ -267,6 +267,10 @@ class FrontProcessor:
                 edge_probs_shape=(Hg, Wg),
                 on_round1=on_round1 if overlap else None,
                 timer=self.timer,
+                # fold the edge-map fetch into the batched BiNI device_get
+                # below instead of blocking inside the sam_edges stage
+                # (~RTT + device time off the critical path per keyframe)
+                defer_edges=overlap,
             )
         masks = gen["masks"]
         if masks.shape[0] == 0:
@@ -294,8 +298,18 @@ class FrontProcessor:
                 handles = [h for h in (h1, h2) if h is not None]
                 leaves = [_integration_leaves(h) for h in handles]
                 flat = [a for ls in leaves for a in ls]
-                fetched = jax.device_get(flat + [normals_dev])
-                normals = fetched[-1]
+                tail = [normals_dev]
+                if gen.get("edges_dev") is not None:
+                    tail.append(gen["edges_dev"])
+                fetched = jax.device_get(flat + tail)
+                normals = fetched[len(flat)]
+                if gen.get("edges_dev") is not None:
+                    # deferred edge map came home in the same device_get;
+                    # run the host finish tail (probs + coarse upsample)
+                    (
+                        gen["edges"], gen["edge_probs"],
+                        gen["edge_coarse"], gen["edge_probs_coarse"],
+                    ) = gen["edges_finish"](fetched[len(flat) + 1])
                 pos = 0
                 for h, ls in zip(handles, leaves):
                     d = _composite_integration(h, fetched[pos : pos + len(ls)])
